@@ -1,0 +1,19 @@
+"""Test config: force an 8-virtual-device CPU JAX platform.
+
+Must run before anything imports jax, hence module-level in conftest.
+"""
+import os
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ.setdefault('JAX_ENABLE_X64', '0')
+
+# persistent compilation cache: XLA CPU compiles are slow on small hosts;
+# cache them across test runs.
+_cache_dir = os.path.join(os.path.dirname(__file__), '..', '.jax_cache')
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', os.path.abspath(_cache_dir))
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '0')
