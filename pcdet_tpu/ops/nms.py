@@ -24,9 +24,9 @@ def _axis_aligned_iou_matrix(boxes5):
     x1, y1, x2, y2 = [boxes5[:, i] for i in range(4)]
     area = (x2 - x1) * (y2 - y1)
     iw = jnp.clip(jnp.minimum(x2[:, None], x2[None, :])
-                  - jnp.maximum(x1[:, None], x1[None, :]), a_min=0)
+                  - jnp.maximum(x1[:, None], x1[None, :]), min=0)
     ih = jnp.clip(jnp.minimum(y2[:, None], y2[None, :])
-                  - jnp.maximum(y1[:, None], y1[None, :]), a_min=0)
+                  - jnp.maximum(y1[:, None], y1[None, :]), min=0)
     inter = iw * ih
     return inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-8)
 

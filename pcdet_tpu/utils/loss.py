@@ -12,7 +12,7 @@ from . import jnp_common
 
 def sigmoid_cross_entropy_with_logits(logits, labels):
     """Numerically-stable per-element sigmoid CE (loss_utils.py:117-125)."""
-    return (jnp.clip(logits, a_min=0) - logits * labels
+    return (jnp.clip(logits, min=0) - logits * labels
             + jnp.log1p(jnp.exp(-jnp.abs(logits))))
 
 
@@ -65,7 +65,7 @@ def weighted_softmax_ce(logits, one_hot_targets, weights, logit_scale=1.0):
 
 def huber_loss(error, delta):
     abs_error = jnp.abs(error)
-    quadratic = jnp.clip(abs_error, a_max=delta)
+    quadratic = jnp.clip(abs_error, max=delta)
     linear = abs_error - quadratic
     return 0.5 * quadratic ** 2 + delta * linear
 
