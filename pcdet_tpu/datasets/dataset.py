@@ -1,0 +1,194 @@
+"""Dataset base: per-sample pipeline to fixed-shape examples + batch collate.
+
+Parity target: reference pcdet/datasets/dataset.py (prepare_data:61-215,
+collate_batch:266-299), restructured for TPU:
+
+  - every array is padded/capped to a static shape (voxels to
+    MAX_NUMBER_OF_VOXELS, GT boxes to MAX_GT_BOXES) so the train/eval steps
+    compile once;
+  - anchor target assignment runs HERE (host, prefetched) instead of inside
+    the forward pass, eliminating the reference's per-iteration
+    device->host->device round trip (rpn_head.py:325-335);
+  - collate stacks per-sample arrays into (B, ...) instead of concatenating
+    ragged voxel lists with a batch-index column.
+"""
+import numpy as np
+
+from ..ops.voxelizer import VoxelGenerator
+from ..utils import box_np_ops, common
+
+
+class DatasetTemplate:
+    def __init__(self, cfg, class_names=None, training=True):
+        self.cfg = cfg
+        self.class_names = list(class_names or cfg.CLASS_NAMES)
+        self.training = training
+        self.mode = 'TRAIN' if training else 'TEST'
+        data_cfg = cfg.DATA_CONFIG
+        self.max_gt_boxes = int(data_cfg.get('MAX_GT_BOXES', 128))
+        vg_cfg = data_cfg.VOXEL_GENERATOR
+        self.voxel_generator = VoxelGenerator(
+            voxel_size=vg_cfg.VOXEL_SIZE,
+            point_cloud_range=data_cfg.POINT_CLOUD_RANGE,
+            max_num_points=vg_cfg.MAX_POINTS_PER_VOXEL,
+            max_voxels=data_cfg[self.mode].MAX_NUMBER_OF_VOXELS,
+        )
+        self.grid_size = self.voxel_generator.grid_size
+        self.anchor_targets = None       # set via set_anchor_targets()
+        self.db_sampler = None
+        self._augmentor = None
+
+    def set_anchor_targets(self, anchor_targets):
+        """Attach the host target assigner (models.anchors.AnchorHeadTargets)."""
+        self.anchor_targets = anchor_targets
+
+    # ------------------------------------------------------------------
+    def __len__(self):
+        raise NotImplementedError
+
+    def __getitem__(self, index):
+        raise NotImplementedError
+
+    def get_road_plane(self, sample_idx):
+        return None
+
+    # ------------------------------------------------------------------
+    def prepare_data(self, input_dict, has_label=True):
+        """Per-sample pipeline: augment -> voxelize -> fixed-shape example.
+
+        :param input_dict: {sample_idx, points (N, C), calib?,
+                            gt_boxes_lidar (M, 7)?, gt_names (M,)?}
+        """
+        cfg = self.cfg
+        data_cfg = cfg.DATA_CONFIG
+        sample_idx = input_dict['sample_idx']
+        points = input_dict['points']
+        calib = input_dict.get('calib', None)
+
+        gt_boxes = gt_names = gt_classes = None
+        if has_label:
+            gt_boxes = input_dict['gt_boxes_lidar'].copy()
+            gt_names = input_dict['gt_names'].copy()
+
+        if self.training:
+            selected = common.drop_arrays_by_name(gt_names, ['DontCare', 'Sign'])
+            gt_boxes = gt_boxes[selected]
+            gt_names = gt_names[selected]
+            gt_boxes_mask = np.array([n in self.class_names for n in gt_names],
+                                     dtype=np.bool_)
+
+            aug_cfg = data_cfg.get('AUGMENTATION', None)
+            if self.db_sampler is not None:
+                road_planes = self.get_road_plane(sample_idx) \
+                    if aug_cfg.DB_SAMPLER.USE_ROAD_PLANE else None
+                sampled = self.db_sampler.sample_all(
+                    self.root_path, gt_boxes, gt_names, road_planes=road_planes,
+                    num_point_features=data_cfg.NUM_POINT_FEATURES['total'],
+                    calib=calib)
+                if sampled is not None:
+                    gt_names = np.concatenate([gt_names, sampled['gt_names']])
+                    gt_boxes = np.concatenate([gt_boxes, sampled['gt_boxes']])
+                    gt_boxes_mask = np.concatenate(
+                        [gt_boxes_mask, sampled['gt_masks']])
+                    points = box_np_ops.remove_points_in_boxes3d(
+                        points, sampled['gt_boxes'])
+                    points = np.concatenate([sampled['points'], points], axis=0)
+
+            if aug_cfg is not None:
+                from .augmentation import augmentation_utils
+                npo = aug_cfg.NOISE_PER_OBJECT
+                if npo.ENABLED:
+                    gt_boxes, points = augmentation_utils.noise_per_object_v3_(
+                        gt_boxes, points, gt_boxes_mask,
+                        rotation_perturb=npo.GT_ROT_UNIFORM_NOISE,
+                        center_noise_std=npo.GT_LOC_NOISE_STD,
+                        num_try=100)
+
+            gt_boxes = gt_boxes[gt_boxes_mask]
+            gt_names = gt_names[gt_boxes_mask]
+            gt_classes = np.array(
+                [self.class_names.index(n) + 1 for n in gt_names],
+                dtype=np.int32)
+
+            if aug_cfg is not None:
+                from .augmentation import augmentation_utils
+                ngs = aug_cfg.NOISE_GLOBAL_SCENE
+                if ngs.ENABLED:
+                    gt_boxes, points = augmentation_utils.random_flip(
+                        gt_boxes, points)
+                    gt_boxes, points = augmentation_utils.global_rotation(
+                        gt_boxes, points, rotation=ngs.GLOBAL_ROT_UNIFORM_NOISE)
+                    gt_boxes, points = augmentation_utils.global_scaling(
+                        gt_boxes, points, *ngs.GLOBAL_SCALING_UNIFORM_NOISE)
+
+            pc_range = self.voxel_generator.point_cloud_range
+            mask = box_np_ops.mask_boxes_outside_range(gt_boxes, pc_range)
+            gt_boxes = gt_boxes[mask]
+            gt_classes = gt_classes[mask]
+            gt_names = gt_names[mask]
+            gt_boxes[:, 6] = common.limit_period(gt_boxes[:, 6], offset=0.5,
+                                                 period=2 * np.pi)
+
+        points = points[:, :data_cfg.NUM_POINT_FEATURES['use']]
+        if data_cfg[self.mode].SHUFFLE_POINTS:
+            np.random.shuffle(points)
+
+        if data_cfg.MASK_POINTS_BY_RANGE:
+            points = common.mask_points_by_range(points,
+                                                 data_cfg.POINT_CLOUD_RANGE)
+
+        example = {'sample_idx': sample_idx}
+
+        # ---- voxelize to fixed shape
+        vg = self.voxel_generator
+        out = vg.generate(points, pad_to_max=True)
+        n_vox = out['num_voxels']
+        voxel_mask = np.zeros(vg.max_voxels, dtype=bool)
+        voxel_mask[:n_vox] = True
+        coords = out['coordinates'].astype(np.int32)
+        coords[~voxel_mask] = -1
+        example.update({
+            'voxels': out['voxels'].astype(np.float32),
+            'num_points': out['num_points_per_voxel'].astype(np.int32),
+            'coordinates': coords,
+            'voxel_mask': voxel_mask,
+        })
+
+        if has_label:
+            if not self.training:
+                selected = common.keep_arrays_by_name(gt_names, self.class_names)
+                gt_boxes = gt_boxes[selected]
+                gt_names = gt_names[selected]
+                gt_classes = np.array(
+                    [self.class_names.index(n) + 1 for n in gt_names],
+                    dtype=np.int32)
+
+            gt_with_cls = np.concatenate(
+                (gt_boxes, gt_classes.reshape(-1, 1).astype(np.float32)),
+                axis=1).astype(np.float32)
+            gt_padded = common.pad_or_trim_to(gt_with_cls, self.max_gt_boxes)
+            example['gt_boxes'] = gt_padded
+
+            if self.training and self.anchor_targets is not None:
+                targets = self.anchor_targets.assign(gt_with_cls)
+                example['box_cls_labels'] = targets['labels'].astype(np.int32)
+                example['box_reg_targets'] = \
+                    targets['bbox_targets'].astype(np.float32)
+
+        return example
+
+
+def collate_batch(batch_list):
+    """Stack fixed-shape per-sample examples into a batch dict."""
+    keys = batch_list[0].keys()
+    ret = {}
+    for key in keys:
+        vals = [ex[key] for ex in batch_list]
+        if key == 'sample_idx':
+            ret[key] = np.array(vals)
+        elif isinstance(vals[0], np.ndarray):
+            ret[key] = np.stack(vals, axis=0)
+        else:
+            ret[key] = vals
+    ret['batch_size'] = len(batch_list)
+    return ret

@@ -1,0 +1,102 @@
+"""Prefetching data loader (host-side, JAX-free workers).
+
+Replaces torch DataLoader + DistributedSampler in the reference runtime: a
+thread pool maps `dataset[i]` over shuffled per-host index shards and a
+bounded queue keeps `prefetch` collated batches ready ahead of device step
+time (BASELINE north star: host augmentation streamed ahead of step time).
+Threads suffice because the pipeline is numpy-dominated (releases the GIL);
+`num_workers=0` gives a fully synchronous loader for tests.
+"""
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from .dataset import collate_batch
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size, shuffle=True, num_workers=4,
+                 seed=0, host_id=0, num_hosts=1, drop_last=True, prefetch=4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.seed = seed
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        """DistributedSampler.set_epoch equivalent — reshuffles per epoch."""
+        self.epoch = epoch
+
+    def _epoch_indices(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(idx)
+        # per-host strided shard (DistributedSampler equivalent)
+        idx = idx[self.host_id::self.num_hosts]
+        if self.drop_last:
+            usable = (len(idx) // self.batch_size) * self.batch_size
+            idx = idx[:usable]
+        return idx
+
+    def __len__(self):
+        n = len(self.dataset)
+        per_host = (n + self.num_hosts - 1) // self.num_hosts
+        if self.drop_last:
+            return per_host // self.batch_size
+        return (per_host + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        indices = self._epoch_indices()
+        batches = [indices[i:i + self.batch_size]
+                   for i in range(0, len(indices), self.batch_size)]
+        if not batches:
+            return iter(())
+        if self.num_workers <= 0:
+            def gen():
+                for b in batches:
+                    yield collate_batch([self.dataset[i] for i in b])
+            return gen()
+        return _PrefetchIterator(self, batches)
+
+
+class _PrefetchIterator:
+    def __init__(self, loader, batches):
+        self.loader = loader
+        self.batches = batches
+        self.q = queue.Queue(maxsize=loader.prefetch)
+        self.pool = ThreadPoolExecutor(max_workers=loader.num_workers)
+        self.done = object()
+        self.thread = threading.Thread(target=self._producer, daemon=True)
+        self.thread.start()
+
+    def _producer(self):
+        try:
+            ds = self.loader.dataset
+            for b in self.batches:
+                examples = list(self.pool.map(ds.__getitem__, b))
+                self.q.put(collate_batch(examples))
+        except Exception as e:  # surface worker errors to the consumer
+            self.q.put(e)
+        finally:
+            self.q.put(self.done)
+            self.pool.shutdown(wait=False)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.q.get()
+        if item is self.done:
+            raise StopIteration
+        if isinstance(item, Exception):
+            raise item
+        return item

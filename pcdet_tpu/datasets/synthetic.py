@@ -1,0 +1,101 @@
+"""Synthetic "boxes in a box" LiDAR dataset.
+
+Deterministic procedurally-generated scenes (cars/pedestrians/cyclists as
+point-sprinkled cuboids + ground clutter) used for:
+  - end-to-end overfit tests (CPU-runnable; SURVEY.md §4 test plan)
+  - throughput benchmarking on synthetic scans (no KITTI download needed)
+"""
+import numpy as np
+
+from .dataset import DatasetTemplate
+
+# class -> (w, l, h) mean sizes
+SIZES = {
+    'Car': (1.6, 3.9, 1.56),
+    'Pedestrian': (0.6, 0.8, 1.73),
+    'Cyclist': (0.6, 1.76, 1.73),
+}
+
+
+def make_scene(rng, class_names, num_objects=8, num_ground=4000,
+               pts_per_obj=300, x_range=(5, 60), y_range=(-30, 30)):
+    """Random scene: returns points (P, 4), gt_boxes (M, 7), gt_names (M,)."""
+    boxes, names = [], []
+    for _ in range(num_objects):
+        cls = class_names[rng.randint(len(class_names))]
+        w, l, h = SIZES[cls]
+        scale = rng.uniform(0.9, 1.1)
+        w, l, h = w * scale, l * scale, h * scale
+        x = rng.uniform(*x_range)
+        y = rng.uniform(*y_range)
+        z = rng.uniform(-1.8, -1.4)
+        ry = rng.uniform(-np.pi, np.pi)
+        boxes.append([x, y, z, w, l, h, ry])
+        names.append(cls)
+    boxes = np.asarray(boxes, dtype=np.float32).reshape(-1, 7)
+    names = np.asarray(names)
+
+    pts = []
+    for b in boxes:
+        x, y, z, w, l, h, ry = b
+        local = np.stack([
+            rng.uniform(-w / 2, w / 2, pts_per_obj),
+            rng.uniform(-l / 2, l / 2, pts_per_obj),
+            rng.uniform(0, h, pts_per_obj),
+        ], axis=1)
+        # push points to the surface to mimic LiDAR returns on shells
+        face = rng.randint(0, 3, pts_per_obj)
+        sign = rng.randint(0, 2, pts_per_obj) * 2 - 1
+        local[face == 0, 0] = (w / 2) * sign[face == 0]
+        local[face == 1, 1] = (l / 2) * sign[face == 1]
+        local[face == 2, 2] = (h / 2) * (sign[face == 2] * 0.5 + 0.5) * 2
+        c, s = np.cos(ry), np.sin(ry)
+        gx = local[:, 0] * c + local[:, 1] * s + x
+        gy = -local[:, 0] * s + local[:, 1] * c + y
+        gz = local[:, 2] + z
+        refl = rng.uniform(0, 1, pts_per_obj)
+        pts.append(np.stack([gx, gy, gz, refl], axis=1))
+
+    ground = np.stack([
+        rng.uniform(0, 69, num_ground),
+        rng.uniform(-39, 39, num_ground),
+        rng.normal(-1.75, 0.05, num_ground),
+        rng.uniform(0, 1, num_ground),
+    ], axis=1)
+    pts.append(ground)
+    points = np.concatenate(pts, axis=0).astype(np.float32)
+    return points, boxes, names
+
+
+class SyntheticDataset(DatasetTemplate):
+    def __init__(self, cfg, training=True, num_samples=None, seed=0):
+        class_names = cfg.CLASS_NAMES
+        super().__init__(cfg, class_names, training)
+        syn = cfg.DATA_CONFIG.get('SYNTHETIC', {})
+        self.num_samples = num_samples or int(syn.get('NUM_SAMPLES', 16))
+        self.num_objects = int(syn.get('NUM_OBJECTS', 8))
+        self.seed = seed
+
+    def __len__(self):
+        return self.num_samples
+
+    def get_raw(self, index):
+        rng = np.random.RandomState(self.seed + index)
+        points, boxes, names = make_scene(rng, self.class_names,
+                                          num_objects=self.num_objects)
+        return {
+            'sample_idx': index,
+            'points': points,
+            'gt_boxes_lidar': boxes,
+            'gt_names': names,
+            'calib': None,
+        }
+
+    def __getitem__(self, index):
+        return self.prepare_data(self.get_raw(index), has_label=True)
+
+    def generate_prediction_dict(self, *a, **k):
+        raise NotImplementedError
+
+    def evaluation(self, det_annos, class_names, **kwargs):
+        raise NotImplementedError

@@ -1,0 +1,123 @@
+"""Detector base: box decoding + fixed-shape post-processing (jnp).
+
+Parity target: reference pcdet/models/detectors/detector3d.py
+(predict_boxes:112-153, post_processing:155-236, class_agnostic_nms:278-299,
+generate_recall_record:301-323) — re-expressed as pure fixed-shape functions
+so the whole eval path (logits -> final boxes) is one jit with no host
+round-trips (the reference crosses the device boundary inside NMS).
+"""
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import nms as nms_ops
+from ..ops import rotated_iou
+from ..utils import jnp_common
+from ..utils.box_coder import ResidualCoder
+
+
+def decode_single_stage(ret_dict, anchors, box_coder: ResidualCoder,
+                        num_class, head_args):
+    """Head outputs -> per-anchor decoded boxes + class scores.
+
+    :return: batch_cls_preds (B, A, C), batch_box_preds (B, A, 7)
+    """
+    box_preds = ret_dict['box_preds']
+    batch_size = box_preds.shape[0]
+    num_anchors = anchors.shape[0]
+    batch_anchors = jnp.broadcast_to(anchors[None], (batch_size, num_anchors, 7))
+
+    cls_preds = ret_dict['cls_preds'].reshape(batch_size, num_anchors, -1)
+    dir_preds = ret_dict.get('dir_cls_preds', None)
+    if dir_preds is not None:
+        dir_preds = dir_preds.reshape(batch_size, num_anchors, -1)
+
+    batch_box_preds = box_coder.decode_with_head_direction(
+        box_preds=box_preds.reshape(batch_size, num_anchors, -1),
+        anchors=batch_anchors,
+        dir_cls_preds=dir_preds,
+        num_dir_bins=head_args.get('num_direction_bins', 2),
+        dir_offset=head_args.get('dir_offset', 0.78539),
+        dir_limit_offset=head_args.get('dir_limit_offset', 0.0),
+        use_binary_dir_classifier=head_args.get('use_binary_dir_classifier', False),
+    )
+    return cls_preds, batch_box_preds
+
+
+def post_process_sample(cls_preds, box_preds, score_thresh, nms_thresh,
+                        nms_pre, nms_post, use_raw_score=True,
+                        class_labels_override=None):
+    """Class-agnostic NMS for one sample, fixed shape.
+
+    :param cls_preds: (A, C) logits (background already excluded)
+    :param box_preds: (A, 7) decoded boxes
+    :return: dict boxes (post, 7), scores (post,), labels (post,) int32,
+             valid (post,) bool
+    (reference detector3d.post_processing:155-236 + class_agnostic_nms)
+    """
+    if cls_preds.ndim > 1 and cls_preds.shape[-1] > 1:
+        rank_scores = jnp.max(cls_preds, axis=-1)
+        class_labels = jnp.argmax(cls_preds, axis=-1) + 1
+    else:
+        rank_scores = cls_preds.reshape(-1)
+        class_labels = (jnp.ones_like(rank_scores, dtype=jnp.int32)
+                        if class_labels_override is None else class_labels_override)
+    normalized = jax.nn.sigmoid(rank_scores)
+    valid = normalized >= score_thresh
+
+    boxes5 = jnp_common.boxes3d_to_bev_corner_format(box_preds)
+    selected, num = nms_ops.nms_bev(boxes5, rank_scores, nms_thresh,
+                                    pre_max=nms_pre, post_max=nms_post,
+                                    valid_mask=valid)
+    sel_valid = selected >= 0
+    sel_safe = jnp.where(sel_valid, selected, 0)
+    final_boxes = box_preds[sel_safe] * sel_valid[:, None].astype(box_preds.dtype)
+    final_scores = jnp.where(
+        sel_valid, rank_scores[sel_safe] if use_raw_score else normalized[sel_safe],
+        0.0)
+    final_labels = jnp.where(sel_valid, class_labels[sel_safe], 0).astype(jnp.int32)
+    return {
+        'boxes': final_boxes,
+        'scores': final_scores,
+        'labels': final_labels,
+        'valid': sel_valid,
+        'num': num,
+    }
+
+
+def post_process_batch(batch_cls_preds, batch_box_preds, test_cfg,
+                       class_labels_override=None):
+    """vmap post_process_sample over the batch."""
+    fn = partial(
+        post_process_sample,
+        score_thresh=float(test_cfg.SCORE_THRESH),
+        nms_thresh=float(test_cfg.NMS_THRESH),
+        nms_pre=int(test_cfg.NMS_PRE_MAXSIZE_LAST),
+        nms_post=int(test_cfg.NMS_POST_MAXSIZE_LAST),
+        use_raw_score=bool(test_cfg.get('USE_RAW_SCORE', True)),
+    )
+    if class_labels_override is not None:
+        return jax.vmap(lambda c, b, o: fn(c, b, class_labels_override=o))(
+            batch_cls_preds, batch_box_preds, class_labels_override)
+    return jax.vmap(fn)(batch_cls_preds, batch_box_preds)
+
+
+def recall_counts(final_boxes, final_valid, gt_boxes, thresh_list=(0.5, 0.7)):
+    """IoU3D recall counters vs (padded) GT for one sample.
+
+    :param final_boxes: (K, 7), :param final_valid: (K,) bool
+    :param gt_boxes: (G, 8) zero-padded
+    :return: dict thresh -> recalled count, plus 'gt' count
+    (reference generate_recall_record:301-323)
+    """
+    gt_valid = jnp.abs(gt_boxes[:, :7]).sum(axis=1) > 0
+    iou = rotated_iou.boxes_iou3d(final_boxes, gt_boxes[:, :7])
+    iou = jnp.where(final_valid[:, None] & gt_valid[None, :], iou, 0.0)
+    best_per_gt = jnp.max(iou, axis=0)
+    out = {'gt': gt_valid.sum()}
+    for t in thresh_list:
+        out['rcnn_%s' % str(t)] = ((best_per_gt > t) & gt_valid).sum()
+    return out

@@ -1,0 +1,77 @@
+"""Evaluation loop: jitted detect path + host-side annotation generation.
+
+Parity target: reference tools/eval_utils/eval_utils.py (eval_one_epoch:23-96):
+per-batch predictions, recall accumulation at RECALL_THRESH_LIST, det_annos
+pickle, dataset.evaluation() for the final metric dict.
+"""
+import pickle
+import time
+
+import jax
+import numpy as np
+
+from .train_state import make_eval_forward
+
+
+def eval_one_epoch(model, params, batch_stats, dataloader, cfg,
+                   result_dir=None, logger=None, save_to_file=False,
+                   epoch_id='no_number'):
+    dataset = dataloader.dataset
+    class_names = list(cfg.CLASS_NAMES)
+    eval_forward = make_eval_forward(model)
+
+    det_annos = []
+    recall = {'gt': 0}
+    for t in cfg.MODEL.TEST.RECALL_THRESH_LIST:
+        recall['rcnn_%s' % str(t)] = 0
+
+    start = time.time()
+    n_examples = 0
+    for batch in dataloader:
+        dev_batch = {k: jax.numpy.asarray(v) for k, v in batch.items()
+                     if isinstance(v, np.ndarray) and v.dtype != object}
+        preds = eval_forward(params, batch_stats, dev_batch)
+        preds = {k: np.asarray(jax.device_get(v)) for k, v in preds.items()}
+        n_examples += batch['batch_size']
+
+        if 'gt_boxes' in batch:
+            from ..models.detector3d import recall_counts
+            for i in range(batch['batch_size']):
+                rc = recall_counts(
+                    jax.numpy.asarray(preds['boxes'][i]),
+                    jax.numpy.asarray(preds['valid'][i]),
+                    jax.numpy.asarray(batch['gt_boxes'][i]),
+                    tuple(cfg.MODEL.TEST.RECALL_THRESH_LIST))
+                for k, v in rc.items():
+                    recall[k if k == 'gt' else k] = recall.get(
+                        k, 0) + int(jax.device_get(v))
+
+        annos = dataset.generate_annotations(
+            batch, preds, class_names,
+            save_to_file=save_to_file,
+            output_dir=(str(result_dir) + '/final_result/data'
+                        if result_dir else None))
+        det_annos += annos
+
+    sec_per_example = (time.time() - start) / max(n_examples, 1)
+    if logger is not None:
+        logger.info('Generate label finished(sec_per_example: %.4f second).'
+                    % sec_per_example)
+        gt = max(recall['gt'], 1)
+        for t in cfg.MODEL.TEST.RECALL_THRESH_LIST:
+            logger.info('recall_rcnn_%s: %f'
+                        % (t, recall['rcnn_%s' % str(t)] / gt))
+
+    if result_dir is not None:
+        with open(str(result_dir) + '/result.pkl', 'wb') as f:
+            pickle.dump(det_annos, f)
+
+    result_str, result_dict = dataset.evaluation(
+        det_annos, class_names,
+        eval_metric=cfg.MODEL.TEST.EVAL_METRIC,
+        output_dir=result_dir)
+    if logger is not None:
+        logger.info(result_str)
+    result_dict['sec_per_example'] = sec_per_example
+    result_dict.update({('recall/%s' % k): v for k, v in recall.items()})
+    return result_dict

@@ -1,0 +1,77 @@
+"""Training loop.
+
+Parity target: reference tools/train_utils/train_utils.py
+(train_model:82-118, train_one_epoch:14-79), restructured so the device step
+is one jitted function (scheduler folded into optax; grads all-reduced by XLA
+over the data mesh) and the host only feeds prefetched batches + logs.
+"""
+import time
+
+import jax
+import numpy as np
+
+from ..parallel import mesh as mesh_lib
+from .checkpoint import save_checkpoint
+from .train_state import make_train_step
+
+
+def _to_device_batch(batch, mesh=None):
+    keep = {k: v for k, v in batch.items()
+            if isinstance(v, np.ndarray) and v.dtype != object}
+    if mesh is not None:
+        return mesh_lib.shard_batch(keep, mesh)
+    return {k: jax.numpy.asarray(v) for k, v in keep.items()}
+
+
+def train_model(model, state, tx, train_loader, total_epochs,
+                start_epoch=0, ckpt_save_dir=None, ckpt_save_interval=1,
+                max_ckpt_save_num=30, logger=None, mesh=None,
+                lr_schedule=None, tb_log=None, log_interval=50,
+                hooks=None):
+    """Epoch loop; returns the final TrainState.
+
+    :param hooks: optional object with `before_epoch(epoch)` /
+        `after_iter(step, tb_dict)` callbacks (the fork's experiments-hook
+        extension point, reference experiments.py / train_utils.py:23,46).
+    """
+    train_step = make_train_step(model, tx)
+    if mesh is not None:
+        state = mesh_lib.replicate_state(state, mesh)
+
+    for epoch in range(start_epoch, total_epochs):
+        train_loader.set_epoch(epoch)
+        if hooks is not None and hasattr(hooks, 'before_epoch'):
+            hooks.before_epoch(epoch)
+        t_epoch = time.time()
+        n_iters = 0
+        for batch in train_loader:
+            dev_batch = _to_device_batch(batch, mesh)
+            state, tb = train_step(state, dev_batch)
+            n_iters += 1
+            step = int(jax.device_get(state.step))
+            if hooks is not None and hasattr(hooks, 'after_iter'):
+                hooks.after_iter(step, tb)
+            if step % log_interval == 0:
+                tb_host = {k: float(jax.device_get(v)) for k, v in tb.items()}
+                lr = float(lr_schedule(step)) if lr_schedule is not None else None
+                if logger is not None:
+                    logger.info('epoch %d iter %d loss %.4f%s' % (
+                        epoch, step, tb_host['loss'],
+                        (' lr %.6f' % lr) if lr is not None else ''))
+                if tb_log is not None:
+                    for k, v in tb_host.items():
+                        tb_log.add_scalar('train_' + k, v, step)
+                    if lr is not None:
+                        tb_log.add_scalar('learning_rate', lr, step)
+
+        if logger is not None:
+            logger.info('epoch %d done in %.1fs (%d iters)'
+                        % (epoch, time.time() - t_epoch, n_iters))
+
+        trained_epoch = epoch + 1
+        if (ckpt_save_dir is not None
+                and trained_epoch % ckpt_save_interval == 0):
+            save_checkpoint(state, ckpt_save_dir, trained_epoch,
+                            max_ckpt_save_num=max_ckpt_save_num)
+
+    return state

@@ -1,0 +1,64 @@
+"""Train state pytree + jitted train-step factory."""
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray                    # scalar int32 (accumulated_iter)
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(variables, tx):
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables['params'],
+        batch_stats=variables.get('batch_stats', {}),
+        opt_state=tx.init(variables['params']),
+    )
+
+
+def make_train_step(model, tx, donate=True):
+    """Build the jitted train step: forward + loss + grad + optax update.
+
+    Gradient all-reduce across the data mesh is inserted by XLA (the batch is
+    sharded, params are replicated).  Equivalent of the reference hot loop
+    train_utils.train_one_epoch:32-52 minus the host-side scheduler stepping
+    (schedules are folded into optax via inject_hyperparams on state.step).
+    """
+    def train_step(state: TrainState, batch):
+        def loss_fn(params):
+            ret, new_stats = model.forward(
+                {'params': params, 'batch_stats': state.batch_stats},
+                batch, train=True)
+            loss, tb = model.loss(ret, batch)
+            return loss, (new_stats, tb)
+
+        (loss, (new_stats, tb)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt_state)
+        tb = dict(tb)
+        tb['loss'] = loss
+        return new_state, tb
+
+    if donate:
+        return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(train_step)
+
+
+def make_eval_forward(model):
+    """Jitted eval forward: logits -> decoded + NMS'd fixed-shape preds."""
+    def eval_forward(params, batch_stats, batch):
+        ret, _ = model.forward({'params': params, 'batch_stats': batch_stats},
+                               batch, train=False)
+        return model.predict(ret)
+    return jax.jit(eval_forward)
