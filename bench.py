@@ -1,0 +1,113 @@
+"""Benchmark: PointPillar full detect path (raw scan -> boxes) on one chip.
+
+Measures end-to-end on-device inference frames/sec: fixed-shape on-device
+voxelization (ops.voxelizer.voxelize_jnp) -> PillarVFE -> BEV scatter -> RPNV2
+-> decode -> rotated NMS, all inside ONE jit.  This is the BASELINE.json
+north-star path ("the full detect path — raw KITTI velodyne scan to boxes —
+runs on-device").
+
+vs_baseline: PCDet's published PointPillar inference speed on its CUDA stack
+is ~42 FPS on a consumer GPU (the repo logs sec_per_example but publishes no
+number; 42 FPS is the commonly-reported PointPillars figure the CUDA stack
+achieves). vs_baseline = fps / 42.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+BATCH = 4
+MAX_POINTS = 65536
+WARMUP = 3
+ITERS = 20
+BASELINE_FPS = 42.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pcdet_tpu.config import cfg_from_yaml_file
+    from pcdet_tpu.datasets.synthetic import make_scene
+    from pcdet_tpu.models.pointpillar import PointPillar
+    from pcdet_tpu.ops.voxelizer import VoxelGenerator, voxelize_jnp
+
+    cfg = cfg_from_yaml_file(str(Path(__file__).parent /
+                                 'tools/cfgs/pointpillar.yaml'))
+    data_cfg = cfg.DATA_CONFIG
+    vg = VoxelGenerator(data_cfg.VOXEL_GENERATOR.VOXEL_SIZE,
+                        data_cfg.POINT_CLOUD_RANGE,
+                        data_cfg.VOXEL_GENERATOR.MAX_POINTS_PER_VOXEL,
+                        data_cfg.TEST.MAX_NUMBER_OF_VOXELS)
+    model = PointPillar(cfg, vg.grid_size)
+
+    max_voxels = int(data_cfg.TEST.MAX_NUMBER_OF_VOXELS)
+    max_pts_per_voxel = int(data_cfg.VOXEL_GENERATOR.MAX_POINTS_PER_VOXEL)
+
+    # synthetic KITTI-scale scans (~40 objects + dense ground)
+    rng = np.random.RandomState(0)
+    scans, masks = [], []
+    for i in range(BATCH):
+        pts, _, _ = make_scene(np.random.RandomState(i), list(cfg.CLASS_NAMES),
+                               num_objects=24, num_ground=45000,
+                               pts_per_obj=400, x_range=(3, 68),
+                               y_range=(-38, 38))
+        n = min(len(pts), MAX_POINTS)
+        buf = np.zeros((MAX_POINTS, 4), np.float32)
+        buf[:n] = pts[:n]
+        m = np.zeros(MAX_POINTS, bool)
+        m[:n] = True
+        scans.append(buf)
+        masks.append(m)
+    scans = jnp.asarray(np.stack(scans))
+    masks = jnp.asarray(np.stack(masks))
+
+    def detect(variables, points, point_mask):
+        vox = jax.vmap(lambda p, m: voxelize_jnp(
+            p, m, tuple(data_cfg.VOXEL_GENERATOR.VOXEL_SIZE),
+            tuple(data_cfg.POINT_CLOUD_RANGE),
+            max_pts_per_voxel, max_voxels))(points, point_mask)
+        ret = model.module.apply(variables, vox['voxels'],
+                                 vox['num_points_per_voxel'],
+                                 vox['coordinates'], vox['voxel_mask'],
+                                 False)
+        return model.predict(ret)
+
+    detect_jit = jax.jit(detect)
+
+    batch0 = {
+        'voxels': jnp.zeros((BATCH, max_voxels, max_pts_per_voxel, 4)),
+        'num_points': jnp.zeros((BATCH, max_voxels), jnp.int32),
+        'coordinates': jnp.zeros((BATCH, max_voxels, 3), jnp.int32),
+        'voxel_mask': jnp.zeros((BATCH, max_voxels), bool),
+    }
+    variables = model.init_variables(jax.random.PRNGKey(0), batch0)
+
+    preds = detect_jit(variables, scans, masks)
+    jax.block_until_ready(preds)
+    for _ in range(WARMUP - 1):
+        jax.block_until_ready(detect_jit(variables, scans, masks))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        preds = detect_jit(variables, scans, masks)
+    jax.block_until_ready(preds)
+    dt = time.perf_counter() - t0
+
+    fps = BATCH * ITERS / dt
+    print(json.dumps({
+        'metric': 'pointpillar_infer_frames_per_sec_per_chip',
+        'value': round(fps, 2),
+        'unit': 'frames/s',
+        'vs_baseline': round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -17,3 +17,10 @@ _cache_dir = os.path.join(os.path.dirname(__file__), '..', '.jax_cache')
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', os.path.abspath(_cache_dir))
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '0')
+
+# The machine image's sitecustomize registers a TPU-tunnel backend ("axon")
+# and force-sets jax_platforms before conftest runs; override back to CPU so
+# the unit suite never rides the tunnel.
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
