@@ -50,7 +50,7 @@ def _greedy_suppress(iou, valid, thresh):
 
 @partial(jax.jit, static_argnames=('pre_max', 'post_max', 'rotated', 'row_chunk'))
 def nms_bev(boxes5, scores, thresh, pre_max=4096, post_max=500,
-            valid_mask=None, rotated=True, row_chunk=256):
+            valid_mask=None, rotated=True, row_chunk=64):
     """Fixed-shape rotated (or axis-aligned) NMS.
 
     :param boxes5: (A, 5) [x1, y1, x2, y2, ry]

@@ -1,0 +1,288 @@
+"""TPU-native 3D sparse convolution library (jnp, fixed shapes, jittable).
+
+Replaces the external spconv C++/CUDA library the reference's SECOND /
+Part-A² backbones depend on (reference usage: pcdet/models/rpn/
+rpn_backbone.py, rpn_unet.py, second_net.py:20-25).
+
+Design — gather-GEMM-scatter over *sorted* voxel ids:
+  * A sparse level is (features (V, C), ids (V,), coords (V, 3), mask (V,))
+    with V a static cap; `ids` are linearised ZYX coordinates kept sorted
+    ascending with INT32_MAX padding.  That invariant makes the "rulebook"
+    a vectorised `jnp.searchsorted` (binary search) instead of spconv's
+    hash-table build: for every (output voxel, kernel tap) we compute the
+    neighbour's linear id and look it up in O(log V) — all fixed-shape,
+    all fused under jit.
+  * The conv itself is ONE large GEMM per layer: gathered neighbour
+    features (V, K*Cin) x reshaped weights (K*Cin, Cout) — lands on the MXU
+    instead of spconv's per-offset scatter kernels.
+  * Strided convs build their output active set by enumerating each input's
+    <= prod(ceil(k/s)) candidate outputs, sorting, and run-length uniquing —
+    no data-dependent shapes.
+  * Inverse (up) convs reuse the encoder level's coords ("indice key"
+    equivalent) and gather from the coarse level where (c + pad - k) % s == 0.
+
+Semantics match spconv: SubMConv3d outputs only at input sites; SparseConv3d
+outputs wherever the receptive field touches an input; out-of-grid taps are
+zero; no bias (the reference backbones all use bias=False + BN).
+"""
+from functools import partial
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INT_MAX = np.iinfo(np.int32).max
+
+
+class SparseLevel(NamedTuple):
+    """One resolution level of a sparse tensor (single sample)."""
+    features: jnp.ndarray    # (V, C)
+    ids: jnp.ndarray         # (V,) int32, sorted ascending, INT_MAX padded
+    coords: jnp.ndarray      # (V, 3) int32 ZYX, -1 padded
+    mask: jnp.ndarray        # (V,) bool
+    shape: Tuple[int, int, int]   # static (D, H, W)
+
+
+def _triple(x):
+    if isinstance(x, (tuple, list)):
+        return tuple(int(v) for v in x)
+    return (int(x),) * 3
+
+
+def linearize(coords, shape):
+    """(.., 3) ZYX int -> linear id over (D, H, W)."""
+    d, h, w = shape
+    return (coords[..., 0] * h + coords[..., 1]) * w + coords[..., 2]
+
+
+def delinearize(ids, shape):
+    d, h, w = shape
+    z = ids // (h * w)
+    rem = ids % (h * w)
+    return jnp.stack([z, rem // w, rem % w], axis=-1)
+
+
+def from_voxelizer(features, coordinates, voxel_mask, shape):
+    """Build a SparseLevel from ops.voxelizer.voxelize_jnp outputs (already
+    sorted by linear id)."""
+    ids = linearize(coordinates, shape)
+    ids = jnp.where(voxel_mask, ids, INT_MAX).astype(jnp.int32)
+    return SparseLevel(features=features, ids=ids,
+                       coords=coordinates, mask=voxel_mask, shape=shape)
+
+
+def from_unsorted(features, coordinates, voxel_mask, shape):
+    """Build a SparseLevel from arbitrary-order coords (e.g. the host
+    voxelizer's first-appearance order): sorts by linear id."""
+    ids = linearize(coordinates, shape)
+    ids = jnp.where(voxel_mask, ids, INT_MAX).astype(jnp.int32)
+    order = jnp.argsort(ids, stable=True)
+    return SparseLevel(features=features[order], ids=ids[order],
+                       coords=coordinates[order], mask=voxel_mask[order],
+                       shape=shape)
+
+
+def _kernel_offsets(kernel):
+    """Static (K, 3) array of kernel tap indices (z-major order, matching a
+    (kz, ky, kx) weight layout)."""
+    kd, kh, kw = kernel
+    offs = [(i, j, l) for i in range(kd) for j in range(kh) for l in range(kw)]
+    return np.asarray(offs, dtype=np.int32)
+
+
+def _lookup(ids_sorted, query_ids, query_valid):
+    """Binary-search query ids in the sorted id array.
+
+    :return: (row indices clamped to [0, V-1], found mask)
+    """
+    v = ids_sorted.shape[0]
+    idx = jnp.searchsorted(ids_sorted, query_ids).astype(jnp.int32)
+    idx_c = jnp.clip(idx, 0, v - 1)
+    found = (ids_sorted[idx_c] == query_ids) & query_valid & (idx < v)
+    return idx_c, found
+
+
+def _gather_gemm(level: SparseLevel, out_coords, out_mask, weights,
+                 in_pos_fn, kernel):
+    """Shared conv core: for each output site and kernel tap, gather the
+    input feature (or zero) and contract with the flattened weights.
+
+    :param weights: (K, Cin, Cout)
+    :param in_pos_fn: (out_coords (V,3), tap (3,)) -> (in_coords, extra_valid)
+    """
+    offs = _kernel_offsets(kernel)                        # (K, 3) static
+    k = offs.shape[0]
+    v = out_coords.shape[0]
+    cin = level.features.shape[-1]
+
+    in_coords = []
+    valids = []
+    for t in range(k):                                    # static unroll
+        c_in, extra = in_pos_fn(out_coords, offs[t])
+        inb = ((c_in >= 0).all(-1)
+               & (c_in < jnp.asarray(level.shape, jnp.int32)).all(-1))
+        in_coords.append(c_in)
+        valids.append(inb & extra & out_mask)
+    in_coords = jnp.stack(in_coords, axis=1)              # (V, K, 3)
+    valid = jnp.stack(valids, axis=1)                     # (V, K)
+
+    q_ids = linearize(in_coords, level.shape)
+    q_ids = jnp.where(valid, q_ids, INT_MAX - 1).astype(jnp.int32)
+    rows, found = _lookup(level.ids, q_ids.reshape(-1), valid.reshape(-1))
+    gathered = level.features[rows]                       # (V*K, Cin)
+    gathered = jnp.where(found[:, None], gathered, 0.0)
+    gathered = gathered.reshape(v, k * cin)
+
+    w = weights.reshape(k * cin, -1)
+    out = jnp.dot(gathered, w, preferred_element_type=jnp.float32)
+    return out * out_mask[:, None].astype(out.dtype)
+
+
+def subm_conv3d(level: SparseLevel, weights, kernel=3):
+    """Submanifold conv: output sites == input sites (spconv SubMConv3d)."""
+    kernel = _triple(kernel)
+    pad = tuple(kk // 2 for kk in kernel)
+
+    def in_pos(out_coords, tap):
+        off = tap - jnp.asarray(pad, jnp.int32)
+        return out_coords + off, jnp.ones(out_coords.shape[0], bool)
+
+    feats = _gather_gemm(level, level.coords, level.mask, weights, in_pos,
+                         kernel)
+    return level._replace(features=feats)
+
+
+def sparse_conv3d(level: SparseLevel, weights, kernel=3, stride=2, padding=1,
+                  out_cap=None):
+    """Strided sparse conv (spconv SparseConv3d): output active set = every
+    output position whose receptive field touches an active input."""
+    kernel = _triple(kernel)
+    stride = _triple(stride)
+    padding = _triple(padding)
+    v = level.coords.shape[0]
+    out_cap = out_cap or v
+    out_shape = tuple((level.shape[i] + 2 * padding[i] - kernel[i])
+                      // stride[i] + 1 for i in range(3))
+
+    # candidate outputs per input: o in [ceil((i+p-k+1)/s), floor((i+p)/s)]
+    ncand = tuple(-(-kernel[i] // stride[i]) for i in range(3))
+    cand_list = []
+    i_c = level.coords
+    o_lo, o_hi = [], []
+    for d in range(3):
+        lo = -(-(i_c[:, d] + padding[d] - kernel[d] + 1) // stride[d])
+        hi = (i_c[:, d] + padding[d]) // stride[d]
+        o_lo.append(lo)
+        o_hi.append(hi)
+
+    cand_coords = []
+    cand_valid = []
+    for dz in range(ncand[0]):
+        for dy in range(ncand[1]):
+            for dx in range(ncand[2]):
+                oz = o_lo[0] + dz
+                oy = o_lo[1] + dy
+                ox = o_lo[2] + dx
+                val = ((oz <= o_hi[0]) & (oy <= o_hi[1]) & (ox <= o_hi[2])
+                       & (oz >= 0) & (oy >= 0) & (ox >= 0)
+                       & (oz < out_shape[0]) & (oy < out_shape[1])
+                       & (ox < out_shape[2]) & level.mask)
+                cand_coords.append(jnp.stack([oz, oy, ox], axis=-1))
+                cand_valid.append(val)
+    cand_coords = jnp.concatenate(cand_coords, axis=0)        # (V*ncand, 3)
+    cand_valid = jnp.concatenate(cand_valid, axis=0)
+
+    cand_ids = linearize(cand_coords, out_shape)
+    cand_ids = jnp.where(cand_valid, cand_ids, INT_MAX).astype(jnp.int32)
+    cand_sorted = jnp.sort(cand_ids)
+    first = jnp.concatenate([
+        (cand_sorted[:1] < INT_MAX),
+        (cand_sorted[1:] != cand_sorted[:-1]) & (cand_sorted[1:] < INT_MAX)])
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    rank = jnp.where(first & (rank < out_cap), rank, out_cap)
+    out_ids = jnp.full((out_cap,), INT_MAX, jnp.int32)
+    out_ids = out_ids.at[rank].set(cand_sorted, mode='drop')
+    out_mask = out_ids < INT_MAX
+    out_coords = jnp.where(out_mask[:, None],
+                           delinearize(out_ids, out_shape), -1).astype(jnp.int32)
+
+    def in_pos(out_coords_, tap):
+        base = (out_coords_ * jnp.asarray(stride, jnp.int32)
+                - jnp.asarray(padding, jnp.int32))
+        return base + tap, jnp.ones(out_coords_.shape[0], bool)
+
+    feats = _gather_gemm(level, out_coords, out_mask, weights, in_pos, kernel)
+    return SparseLevel(features=feats, ids=out_ids, coords=out_coords,
+                       mask=out_mask, shape=out_shape)
+
+
+def inverse_conv3d(level: SparseLevel, target: SparseLevel, weights,
+                   kernel=3, stride=2, padding=1):
+    """Inverse (up) conv onto a stashed finer level's active set — the
+    spconv SparseInverseConv3d / indice-key-reuse equivalent.
+
+    :param level: coarse input level
+    :param target: fine level whose ids/coords/mask define the output sites
+                   (its features are ignored)
+    :param kernel/stride/padding: parameters of the conv being inverted
+    """
+    kernel = _triple(kernel)
+    stride = _triple(stride)
+    padding = _triple(padding)
+    s = jnp.asarray(stride, jnp.int32)
+    p = jnp.asarray(padding, jnp.int32)
+
+    def in_pos(out_coords, tap):
+        num = out_coords + p - tap
+        ok = (num % s == 0).all(-1) & (num >= 0).all(-1)
+        return num // s, ok
+
+    feats = _gather_gemm(level, target.coords, target.mask, weights, in_pos,
+                         kernel)
+    return SparseLevel(features=feats, ids=target.ids, coords=target.coords,
+                       mask=target.mask, shape=target.shape)
+
+
+def sparse_maxpool3d(level: SparseLevel, kernel=3, stride=2, padding=1,
+                     out_cap=None):
+    """Sparse max-pool (spconv SparseMaxPool3d): max over active inputs in
+    each output's receptive field; output active set like sparse_conv3d."""
+    kernel = _triple(kernel)
+    stride = _triple(stride)
+    padding = _triple(padding)
+    # reuse sparse_conv3d's active-set construction via identity weights on a
+    # dummy channel, then do the max by gathering per-tap
+    dummy = sparse_conv3d(
+        level._replace(features=jnp.zeros_like(level.features[:, :1])),
+        jnp.zeros((int(np.prod(kernel)), 1, 1)), kernel, stride, padding,
+        out_cap)
+    out_coords, out_mask = dummy.coords, dummy.mask
+
+    offs = _kernel_offsets(kernel)
+    neg = jnp.finfo(level.features.dtype).min
+    acc = jnp.full((out_coords.shape[0], level.features.shape[-1]), neg,
+                   level.features.dtype)
+    for t in range(offs.shape[0]):
+        c_in = (out_coords * jnp.asarray(stride, jnp.int32)
+                - jnp.asarray(padding, jnp.int32) + offs[t])
+        inb = ((c_in >= 0).all(-1)
+               & (c_in < jnp.asarray(level.shape, jnp.int32)).all(-1))
+        q = jnp.where(inb & out_mask, linearize(c_in, level.shape),
+                      INT_MAX - 1).astype(jnp.int32)
+        rows, found = _lookup(level.ids, q, inb & out_mask)
+        vals = jnp.where(found[:, None], level.features[rows], neg)
+        acc = jnp.maximum(acc, vals)
+    feats = jnp.where(out_mask[:, None] & (acc > neg / 2), acc, 0.0)
+    return SparseLevel(features=feats, ids=dummy.ids, coords=out_coords,
+                       mask=out_mask, shape=dummy.shape)
+
+
+def to_dense(level: SparseLevel):
+    """(V, C) sparse -> (D, H, W, C) dense via one XLA scatter."""
+    d, h, w = level.shape
+    c = level.features.shape[-1]
+    flat = jnp.where(level.mask, level.ids, d * h * w)
+    canvas = jnp.zeros((d * h * w, c), level.features.dtype)
+    canvas = canvas.at[flat].set(level.features, mode='drop')
+    return canvas.reshape(d, h, w, c)
