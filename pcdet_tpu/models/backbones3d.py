@@ -1,0 +1,104 @@
+"""3D sparse backbones (flax) over the TPU sparse-conv library.
+
+Parity targets:
+  - BackBone8x (SECOND): reference pcdet/models/rpn/rpn_backbone.py — SubM
+    input + 4 stages (16/32/64/64) with stride-2 SparseConv3d between, final
+    (3,1,1)/(2,1,1) conv, then densify to a BEV map (N, H, W, C*D).
+  - UNetV2 (Part-A²): reference pcdet/models/rpn/rpn_unet.py — same encoder
+    plus SparseInverseConv3d decoder with lateral SubM fusion and per-voxel
+    seg/part heads (built in parta2.py on top of this module's levels).
+
+BatchNorm over voxels uses the masked TorchBatchNorm (stats over active
+voxels only — exactly spconv's BatchNorm1d over the ragged voxel list).
+"""
+import math
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import sparse
+from .layers import TorchBatchNorm, torch_uniform_init
+
+
+class SpConvBNReLU(nn.Module):
+    """One sparse conv + masked BN + ReLU block."""
+    out_channels: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    stride: Tuple[int, int, int] = (1, 1, 1)
+    padding: Tuple[int, int, int] = (1, 1, 1)
+    conv_type: str = 'subm'          # 'subm' | 'spconv' | 'inverseconv'
+    out_cap: int = 0                 # required for 'spconv'
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, level, train: bool, target=None):
+        """`level` arrays are batched: features (B, V, C), ids (B, V), ..."""
+        k = int(np.prod(self.kernel))
+        cin = level.features.shape[-1]
+        fan_in = cin * k
+        w = self.param('kernel', torch_uniform_init(fan_in),
+                       (k, cin, self.out_channels))
+        if self.conv_type == 'subm':
+            out = sparse.subm_conv3d_batched(level, w, kernel=self.kernel)
+        elif self.conv_type == 'spconv':
+            out = sparse.sparse_conv3d_batched(
+                level, w, kernel=self.kernel, stride=self.stride,
+                padding=self.padding,
+                out_cap=self.out_cap or level.features.shape[1])
+        elif self.conv_type == 'inverseconv':
+            assert target is not None
+            out = sparse.inverse_conv3d_batched(
+                level, target, w, kernel=self.kernel, stride=self.stride,
+                padding=self.padding)
+        else:
+            raise NotImplementedError(self.conv_type)
+
+        feats = out.features                              # (B, V, Cout)
+        if self.use_norm:
+            feats = TorchBatchNorm(self.out_channels)(feats, train,
+                                                      mask=out.mask)
+        feats = jax.nn.relu(feats) * out.mask[..., None].astype(feats.dtype)
+        return out._replace(features=feats)
+
+
+class BackBone8x(nn.Module):
+    """SECOND sparse encoder -> dense BEV features."""
+    sparse_shape: Tuple[int, int, int]       # (41, 1600, 1408)
+    last_pad: Tuple[int, int, int] = (0, 0, 0)
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, level, train: bool):
+        """:param level: batched SparseLevel at full resolution;
+        :return: (B, H, W, C*D) dense BEV + encoder levels."""
+        cap = level.features.shape[1]
+        x = SpConvBNReLU(16, name='conv_input')(level, train)
+        x1 = SpConvBNReLU(16, name='conv1_0')(x, train)
+        x2 = SpConvBNReLU(32, stride=(2, 2, 2), conv_type='spconv',
+                          out_cap=cap, name='conv2_0')(x1, train)
+        x2 = SpConvBNReLU(32, name='conv2_1')(x2, train)
+        x2 = SpConvBNReLU(32, name='conv2_2')(x2, train)
+        x3 = SpConvBNReLU(64, stride=(2, 2, 2), conv_type='spconv',
+                          out_cap=cap, name='conv3_0')(x2, train)
+        x3 = SpConvBNReLU(64, name='conv3_1')(x3, train)
+        x3 = SpConvBNReLU(64, name='conv3_2')(x3, train)
+        x4 = SpConvBNReLU(64, stride=(2, 2, 2), padding=(0, 1, 1),
+                          conv_type='spconv', out_cap=cap,
+                          name='conv4_0')(x3, train)
+        x4 = SpConvBNReLU(64, name='conv4_1')(x4, train)
+        x4 = SpConvBNReLU(64, name='conv4_2')(x4, train)
+
+        out = SpConvBNReLU(128, kernel=(3, 1, 1), stride=(2, 1, 1),
+                           padding=self.last_pad, conv_type='spconv',
+                           out_cap=cap, name='conv_out')(x4, train)
+
+        dense = sparse.to_dense_batched(out)            # (B, D, H, W, 128)
+        b, d, h, w, c = dense.shape
+        # (B, H, W, C*D) — z folds into channels like the reference's
+        # .dense() + view(N, C*D, H, W)
+        bev = jnp.transpose(dense, (0, 2, 3, 4, 1)).reshape(b, h, w, c * d)
+        return bev, {'x_conv1': x1, 'x_conv2': x2, 'x_conv3': x3,
+                     'x_conv4': x4}

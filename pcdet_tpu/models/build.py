@@ -9,10 +9,10 @@ def build_network(cfg, grid_size):
     if name == 'PointPillar':
         from .pointpillar import PointPillar
         return PointPillar(cfg, grid_size)
-    if name == 'SECOND':
+    if name in ('SECOND', 'second_net'):
         from .second import SECONDNet
         return SECONDNet(cfg, grid_size)
-    if name == 'PartA2':
+    if name in ('PartA2', 'PartA2_net'):
         from .parta2 import PartA2Net
         return PartA2Net(cfg, grid_size)
     raise NotImplementedError(name)

@@ -278,6 +278,76 @@ def sparse_maxpool3d(level: SparseLevel, kernel=3, stride=2, padding=1,
                        mask=out_mask, shape=dummy.shape)
 
 
+# ---------------------------------------------------------------------------
+# Batched wrappers: arrays carry a leading batch axis, `shape` stays static.
+# The conv weights are closed over (shared across the batch); BatchNorm is
+# applied OUTSIDE these wrappers so its statistics span the whole batch's
+# voxels (spconv BatchNorm1d semantics).
+# ---------------------------------------------------------------------------
+
+def _vmap_level_op(fn, out_shape, level: SparseLevel, *extra_levels):
+    """vmap a per-sample SparseLevel op over batched SparseLevels.
+
+    `out_shape` must be the statically-known output spatial shape.
+    """
+    shapes = [level.shape] + [e.shape for e in extra_levels]
+
+    def per_sample(*arrays):
+        levels = []
+        for i, shape in enumerate(shapes):
+            f, ids, c, m = arrays[4 * i: 4 * i + 4]
+            levels.append(SparseLevel(f, ids, c, m, shape))
+        out = fn(*levels)
+        return out.features, out.ids, out.coords, out.mask
+
+    flat = []
+    for lv in [level] + list(extra_levels):
+        flat += [lv.features, lv.ids, lv.coords, lv.mask]
+    f, ids, c, m = jax.vmap(per_sample)(*flat)
+    return SparseLevel(f, ids, c, m, out_shape)
+
+
+def conv_out_shape(in_shape, kernel, stride, padding):
+    kernel, stride, padding = _triple(kernel), _triple(stride), _triple(padding)
+    return tuple((in_shape[i] + 2 * padding[i] - kernel[i]) // stride[i] + 1
+                 for i in range(3))
+
+
+def subm_conv3d_batched(level, weights, kernel=3):
+    return _vmap_level_op(lambda lv: subm_conv3d(lv, weights, kernel),
+                          level.shape, level)
+
+
+def sparse_conv3d_batched(level, weights, kernel=3, stride=2, padding=1,
+                          out_cap=None):
+    out_shape = conv_out_shape(level.shape, kernel, stride, padding)
+    return _vmap_level_op(
+        lambda lv: sparse_conv3d(lv, weights, kernel, stride, padding,
+                                 out_cap), out_shape, level)
+
+
+def inverse_conv3d_batched(level, target, weights, kernel=3, stride=2,
+                           padding=1):
+    return _vmap_level_op(
+        lambda lv, tg: inverse_conv3d(lv, tg, weights, kernel, stride,
+                                      padding), target.shape, level, target)
+
+
+def sparse_maxpool3d_batched(level, kernel=3, stride=2, padding=1,
+                             out_cap=None):
+    out_shape = conv_out_shape(level.shape, kernel, stride, padding)
+    return _vmap_level_op(
+        lambda lv: sparse_maxpool3d(lv, kernel, stride, padding, out_cap),
+        out_shape, level)
+
+
+def to_dense_batched(level):
+    def per_sample(f, ids, c, m):
+        return to_dense(SparseLevel(f, ids, c, m, level.shape))
+    return jax.vmap(per_sample)(level.features, level.ids, level.coords,
+                                level.mask)
+
+
 def to_dense(level: SparseLevel):
     """(V, C) sparse -> (D, H, W, C) dense via one XLA scatter."""
     d, h, w = level.shape

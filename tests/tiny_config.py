@@ -113,3 +113,25 @@ def tiny_pointpillar_cfg(num_class=1):
     }))
     cfg_preprocess(cfg)
     return cfg
+
+
+def tiny_second_cfg(num_class=1):
+    """Tiny SECOND: 3D voxels (z-resolved), sparse backbone, small grid."""
+    cfg = tiny_pointpillar_cfg(num_class)
+    cfg.DATA_CONFIG.VOXEL_GENERATOR = EDict({
+        'MAX_POINTS_PER_VOXEL': 5,
+        'VOXEL_SIZE': [0.25, 0.25, 0.25],   # grid 128 x 128 x 16
+    })
+    cfg.DATA_CONFIG.TRAIN.MAX_NUMBER_OF_VOXELS = 3000
+    cfg.DATA_CONFIG.TEST.MAX_NUMBER_OF_VOXELS = 3000
+    cfg.MODEL.NAME = 'second_net'
+    cfg.MODEL.VFE = EDict({'NAME': 'MeanVoxelFeatureExtractor', 'ARGS': {}})
+    cfg.MODEL.RPN.BACKBONE = EDict({'NAME': 'BackBone8x', 'ARGS': {}})
+    cfg.MODEL.RPN.RPN_HEAD.ARGS.update({
+        'num_input_features': 256,
+        'layer_nums': [1, 1], 'layer_strides': [1, 2],
+        'num_filters': [32, 64], 'upsample_strides': [1, 2],
+        'num_upsample_filters': [32, 32],
+    })
+    cfg.MODEL.RPN.RPN_HEAD.TARGET_CONFIG.DOWNSAMPLED_FACTOR = 8
+    return cfg
