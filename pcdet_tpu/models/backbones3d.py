@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import sparse
-from .layers import TorchBatchNorm, torch_uniform_init
+from .layers import TorchBatchNorm, TorchLinear, torch_uniform_init
 
 
 class SpConvBNReLU(nn.Module):
@@ -102,3 +102,107 @@ class BackBone8x(nn.Module):
         bev = jnp.transpose(dense, (0, 2, 3, 4, 1)).reshape(b, h, w, c * d)
         return bev, {'x_conv1': x1, 'x_conv2': x2, 'x_conv3': x3,
                      'x_conv4': x4}
+
+
+class SparseBasicBlock(nn.Module):
+    """Residual block of two subm convs (reference resnet_utils.py:17-48)."""
+    planes: int
+
+    @nn.compact
+    def __call__(self, level, train: bool):
+        identity = level.features
+        out = level
+        k1 = self.param('kernel1', torch_uniform_init(
+            level.features.shape[-1] * 27), (27, level.features.shape[-1],
+                                             self.planes))
+        out = sparse.subm_conv3d_batched(out, k1)
+        f = TorchBatchNorm(self.planes, name='bn1')(out.features, train,
+                                                    mask=out.mask)
+        f = jax.nn.relu(f) * out.mask[..., None].astype(f.dtype)
+        out = out._replace(features=f)
+        k2 = self.param('kernel2', torch_uniform_init(self.planes * 27),
+                        (27, self.planes, self.planes))
+        out = sparse.subm_conv3d_batched(out, k2)
+        f = TorchBatchNorm(self.planes, name='bn2')(out.features, train,
+                                                    mask=out.mask)
+        f = jax.nn.relu(f + identity) * out.mask[..., None].astype(f.dtype)
+        return out._replace(features=f)
+
+
+class UNetV2(nn.Module):
+    """Part-A² sparse UNet: BackBone8x-style encoder + inverse-conv decoder
+    with lateral residual fusion + per-voxel seg/part heads
+    (reference pcdet/models/rpn/rpn_unet.py UNetV2:339-529).
+    """
+    sparse_shape: Tuple[int, int, int]
+    last_pad: Tuple[int, int, int] = (0, 0, 0)
+
+    def ur_block(self, x_lateral, x_bottom, planes, inv_cfg, name, train):
+        """UR block (rpn_unet.py:414-422): lateral residual block, concat with
+        bottom, subm conv, channel-reduced residual add, then up/last conv."""
+        x_trans = SparseBasicBlock(planes, name=name + '_t')(x_lateral, train)
+        cat = x_trans._replace(features=jnp.concatenate(
+            [x_bottom.features, x_trans.features], axis=-1))
+        x_m = SpConvBNReLU(planes, name=name + '_m')(cat, train)
+        # channel_reduction (rpn_unet.py:424-436): (N, C1) -> (N, C2) by
+        # summing groups of C1/C2 channels
+        b, v, c1 = cat.features.shape
+        red = cat.features.reshape(b, v, planes, -1).sum(axis=3)
+        fused = x_m._replace(features=x_m.features + red)
+        conv_type, out_ch, kernel, stride, padding, target = inv_cfg
+        if conv_type == 'inverseconv':
+            return SpConvBNReLU(out_ch, kernel=kernel, stride=stride,
+                                padding=padding, conv_type='inverseconv',
+                                name=name + '_inv')(fused, train,
+                                                    target=target)
+        return SpConvBNReLU(out_ch, name=name + '_inv')(fused, train)
+
+    @nn.compact
+    def __call__(self, level, train: bool):
+        cap = level.features.shape[1]
+        x = SpConvBNReLU(16, name='conv_input')(level, train)
+        x1 = SpConvBNReLU(16, name='conv1_0')(x, train)
+        x2 = SpConvBNReLU(32, stride=(2, 2, 2), conv_type='spconv',
+                          out_cap=cap, name='conv2_0')(x1, train)
+        x2 = SpConvBNReLU(32, name='conv2_1')(x2, train)
+        x2 = SpConvBNReLU(32, name='conv2_2')(x2, train)
+        x3 = SpConvBNReLU(64, stride=(2, 2, 2), conv_type='spconv',
+                          out_cap=cap, name='conv3_0')(x2, train)
+        x3 = SpConvBNReLU(64, name='conv3_1')(x3, train)
+        x3 = SpConvBNReLU(64, name='conv3_2')(x3, train)
+        x4 = SpConvBNReLU(64, stride=(2, 2, 2), padding=(0, 1, 1),
+                          conv_type='spconv', out_cap=cap,
+                          name='conv4_0')(x3, train)
+        x4 = SpConvBNReLU(64, name='conv4_1')(x4, train)
+        x4 = SpConvBNReLU(64, name='conv4_2')(x4, train)
+
+        out = SpConvBNReLU(128, kernel=(3, 1, 1), stride=(2, 1, 1),
+                           padding=self.last_pad, conv_type='spconv',
+                           out_cap=cap, name='conv_out')(x4, train)
+        dense = sparse.to_dense_batched(out)
+        b, d, h, w, c = dense.shape
+        bev = jnp.transpose(dense, (0, 2, 3, 4, 1)).reshape(b, h, w, c * d)
+
+        # decoder: x_up4 stays at level 4 (lateral == bottom), then upsample
+        x_up4 = self.ur_block(x4, x4, 64,
+                              ('inverseconv', 64, (3, 3, 3), (2, 2, 2),
+                               (0, 1, 1), x3), 'up4', train)
+        x_up3 = self.ur_block(x3, x_up4, 64,
+                              ('inverseconv', 32, (3, 3, 3), (2, 2, 2),
+                               (1, 1, 1), x2), 'up3', train)
+        x_up2 = self.ur_block(x2, x_up3, 32,
+                              ('inverseconv', 16, (3, 3, 3), (2, 2, 2),
+                               (1, 1, 1), x1), 'up2', train)
+        x_up1 = self.ur_block(x1, x_up2, 16,
+                              ('subm', 16, (3, 3, 3), (1, 1, 1), (1, 1, 1),
+                               None), 'up1', train)
+
+        seg_features = x_up1.features                      # (B, V, 16)
+        seg_cls_preds = TorchLinear(1, name='seg_cls_layer')(seg_features)
+        seg_reg_preds = TorchLinear(3, name='seg_reg_layer')(seg_features)
+        return bev, {
+            'u_seg_preds': seg_cls_preds,
+            'u_reg_preds': seg_reg_preds,
+            'seg_features': seg_features,
+            'seg_level': x_up1,
+        }

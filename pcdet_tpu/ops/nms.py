@@ -82,6 +82,9 @@ def nms_bev(boxes5, scores, thresh, pre_max=4096, post_max=500,
     keep_rank = jnp.where(keep, jnp.arange(pre_max), pre_max)
     sel_order = jnp.argsort(keep_rank)[:post_max]               # kept first
     sel_valid = jnp.sort(keep_rank)[:post_max] < pre_max
-    selected = jnp.where(sel_valid, order[sel_order], -1)
+    selected = jnp.where(sel_valid, order[sel_order], -1).astype(jnp.int32)
+    if selected.shape[0] < post_max:                            # pre_max < post
+        pad = jnp.full((post_max - selected.shape[0],), -1, jnp.int32)
+        selected = jnp.concatenate([selected, pad])
     num = jnp.minimum(jnp.sum(keep), post_max).astype(jnp.int32)
-    return selected.astype(jnp.int32), num
+    return selected, num

@@ -35,6 +35,9 @@ def train_model(model, state, tx, train_loader, total_epochs,
         extension point, reference experiments.py / train_utils.py:23,46).
     """
     train_step = make_train_step(model, tx)
+    # the jitted step donates its input state buffers; copy the caller's
+    # state so their references (e.g. init variables) stay valid
+    state = jax.tree_util.tree_map(jax.numpy.copy, state)
     if mesh is not None:
         state = mesh_lib.replicate_state(state, mesh)
 

@@ -32,11 +32,19 @@ def make_train_step(model, tx, donate=True):
     train_utils.train_one_epoch:32-52 minus the host-side scheduler stepping
     (schedules are folded into optax via inject_hyperparams on state.step).
     """
+    import inspect
+    wants_rng = 'rng' in inspect.signature(model.forward).parameters
+    base_key = jax.random.PRNGKey(20260816)
+
     def train_step(state: TrainState, batch):
         def loss_fn(params):
-            ret, new_stats = model.forward(
-                {'params': params, 'batch_stats': state.batch_stats},
-                batch, train=True)
+            variables = {'params': params, 'batch_stats': state.batch_stats}
+            if wants_rng:
+                rng = jax.random.fold_in(base_key, state.step)
+                ret, new_stats = model.forward(variables, batch, train=True,
+                                               rng=rng)
+            else:
+                ret, new_stats = model.forward(variables, batch, train=True)
             loss, tb = model.loss(ret, batch)
             return loss, (new_stats, tb)
 

@@ -1,0 +1,84 @@
+"""Part-A² end-to-end on a tiny grid: stage-1+2 forward, losses, grads, predict."""
+import numpy as np
+import pytest
+
+from tiny_config import tiny_parta2_cfg
+
+
+@pytest.fixture(scope='module')
+def setup():
+    import jax
+    from pcdet_tpu.datasets.synthetic import SyntheticDataset
+    from pcdet_tpu.datasets.dataset import collate_batch
+    from pcdet_tpu.models.parta2 import PartA2Net
+
+    cfg = tiny_parta2_cfg(num_class=1)
+    ds = SyntheticDataset(cfg, training=True)
+    model = PartA2Net(cfg, ds.grid_size)
+    ds.set_anchor_targets(model.anchor_targets)
+    batch_np = collate_batch([ds[0], ds[1]])
+    batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()
+             if isinstance(v, np.ndarray) and k != 'sample_idx'}
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+    return cfg, ds, model, batch, variables
+
+
+def test_part_targets_in_batch(setup):
+    cfg, ds, model, batch, variables = setup
+    assert 'seg_labels' in batch and 'part_labels' in batch
+    seg = np.asarray(batch['seg_labels'])
+    part = np.asarray(batch['part_labels'])
+    assert seg.shape == (2, 3000)
+    assert part.shape == (2, 3000, 3)
+    assert (seg > 0).sum() > 0, 'no foreground voxels in synthetic scenes'
+    # part offsets of fg voxels live in [0, 1]-ish canonical coords
+    fg = seg > 0
+    assert part[fg].min() >= 0.0
+    assert part[fg].max() <= 1.5
+
+
+def test_forward_train_and_loss(setup):
+    import jax
+    cfg, ds, model, batch, variables = setup
+    ret, new_stats = model.forward(variables, batch, train=True,
+                                   rng=jax.random.PRNGKey(1))
+    assert ret['u_seg_preds'].shape == (2, 3000, 1)
+    assert ret['u_reg_preds'].shape == (2, 3000, 3)
+    rcnn = ret['rcnn']
+    assert rcnn['rcnn_cls'].shape == (2, 32)
+    assert rcnn['rcnn_reg'].shape == (2, 32, 7)
+    assert rcnn['rois'].shape == (2, 32, 7)
+    loss, tb = model.loss(ret, batch)
+    assert np.isfinite(float(loss))
+    for k in ['rpn_loss_unet', 'rpn_loss', 'rcnn_loss']:
+        assert np.isfinite(float(tb[k])), k
+
+
+def test_gradients(setup):
+    import jax
+    import jax.numpy as jnp
+    cfg, ds, model, batch, variables = setup
+
+    def loss_fn(params):
+        ret, _ = model.forward({'params': params,
+                                'batch_stats': variables['batch_stats']},
+                               batch, train=True, rng=jax.random.PRNGKey(2))
+        loss, _ = model.loss(ret, batch)
+        return loss
+
+    grads = jax.grad(loss_fn)(variables['params'])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    rcnn_g = sum(float(jnp.abs(g).sum()) for p, g in flat if 'rcnn' in str(p))
+    unet_g = sum(float(jnp.abs(g).sum()) for p, g in flat if 'unet' in str(p))
+    assert rcnn_g > 0, 'no gradient into RCNN'
+    assert unet_g > 0, 'no gradient into UNet'
+
+
+def test_predict(setup):
+    cfg, ds, model, batch, variables = setup
+    ret, _ = model.forward(variables, batch, train=False)
+    preds = model.predict(ret)
+    assert preds['boxes'].shape == (2, 64, 7)
+    assert preds['labels'].shape == (2, 64)

@@ -135,3 +135,54 @@ def tiny_second_cfg(num_class=1):
     })
     cfg.MODEL.RPN.RPN_HEAD.TARGET_CONFIG.DOWNSAMPLED_FACTOR = 8
     return cfg
+
+
+def tiny_parta2_cfg(num_class=1):
+    cfg = tiny_second_cfg(num_class)
+    cfg.MODEL.NAME = 'PartA2_net'
+    cfg.MODEL.RPN.BACKBONE = EDict({
+        'NAME': 'UNetV2',
+        'SEG_MASK_SCORE_THRESH': 0.3,
+        'ARGS': {},
+        'TARGET_CONFIG': {
+            'GENERATED_ON': 'dataset',
+            'GT_EXTEND_WIDTH': 0.2,
+            'MEAN_SIZE': {'Car': [1.6, 3.9, 1.56],
+                          'Pedestrian': [0.6, 0.8, 1.73],
+                          'Cyclist': [0.6, 1.76, 1.73]},
+        },
+    })
+    cfg.MODEL.RCNN = EDict({
+        'NAME': 'SpConvRCNN',
+        'ENABLED': True,
+        'NUM_POINT_FEATURES': 16,
+        'ROI_AWARE_POOL_SIZE': 14,
+        'SHARED_FC': [64, 128, 128],
+        'CLS_FC': [64], 'REG_FC': [64],
+        'DP_RATIO': 0.3,
+        'TARGET_CONFIG': {
+            'BOX_CODER': 'ResidualCoder',
+            'ROI_PER_IMAGE': 32, 'FG_RATIO': 0.5, 'HARD_BG_RATIO': 0.8,
+            'CLS_SCORE_TYPE': 'roi_iou',
+            'CLS_FG_THRESH': 0.75, 'CLS_BG_THRESH': 0.25,
+            'CLS_BG_THRESH_LO': 0.1, 'REG_FG_THRESH': 0.55,
+        },
+    })
+    cfg.MODEL.LOSSES.update({
+        'RCNN_CLS_LOSS': 'BinaryCrossEntropy',
+        'RCNN_REG_LOSS': 'smooth-l1',
+        'CORNER_LOSS_REGULARIZATION': True,
+    })
+    cfg.MODEL.LOSSES.LOSS_WEIGHTS.update({
+        'rcnn_cls_weight': 1.0, 'rcnn_reg_weight': 1.0,
+        'rcnn_corner_weight': 1.0,
+    })
+    cfg.MODEL.TRAIN.update({
+        'NMS_PRE_MAXSIZE': 256, 'NMS_POST_MAXSIZE': 64,
+        'RPN_NMS_THRESH': 0.8, 'RPN_NMS_TYPE': 'nms_gpu',
+    })
+    cfg.MODEL.TEST.update({
+        'NMS_PRE_MAXSIZE': 256, 'NMS_POST_MAXSIZE': 32,
+        'RPN_NMS_THRESH': 0.7, 'RPN_NMS_TYPE': 'nms_gpu',
+    })
+    return cfg
