@@ -23,9 +23,10 @@ from ..dataset import DatasetTemplate
 
 class KittiDataset(DatasetTemplate):
     def __init__(self, cfg, training=True, logger=None, split=None,
-                 root_path=None):
+                 root_path=None, for_info_generation=False):
         super().__init__(cfg, cfg.CLASS_NAMES, training)
         self.logger = logger
+        self.for_info_generation = for_info_generation
         self.root_path = root_path or os.path.join(cfg.ROOT_DIR,
                                                    cfg.DATA_CONFIG.DATA_DIR)
         self.split = split or cfg.MODEL[self.mode].SPLIT
@@ -37,14 +38,16 @@ class KittiDataset(DatasetTemplate):
                                if os.path.exists(split_file) else None)
 
         self.kitti_infos = []
-        self.include_kitti_data(self.mode, logger)
+        if not for_info_generation:
+            self.include_kitti_data(self.mode, logger)
+            self.dataset_init(logger)
         self._info_by_idx = {info['point_cloud']['lidar_idx']: info
                              for info in self.kitti_infos}
-        self.dataset_init(logger)
 
     def set_split(self, split):
         self.__init__(self.cfg, self.training, self.logger, split=split,
-                      root_path=self.root_path)
+                      root_path=self.root_path,
+                      for_info_generation=self.for_info_generation)
 
     # ----------------------------------------------------------------- raw IO
     def get_lidar(self, idx):
@@ -419,7 +422,7 @@ def create_kitti_infos(cfg, data_path=None, save_path=None, workers=4):
     save_path = save_path or data_path
 
     dataset = KittiDataset(cfg, training=False, split='train',
-                           root_path=data_path)
+                           root_path=data_path, for_info_generation=True)
     train_split, val_split = 'train', 'val'
 
     out = {}
@@ -437,10 +440,11 @@ def create_kitti_infos(cfg, data_path=None, save_path=None, workers=4):
         pickle.dump(out[train_split] + out[val_split], f)
 
     dataset.set_split('test')
-    infos_test = dataset.get_infos(num_workers=workers, has_label=False,
-                                   count_inside_pts=False)
-    with open(os.path.join(save_path, 'kitti_infos_test.pkl'), 'wb') as f:
-        pickle.dump(infos_test, f)
+    if dataset.sample_id_list:
+        infos_test = dataset.get_infos(num_workers=workers, has_label=False,
+                                       count_inside_pts=False)
+        with open(os.path.join(save_path, 'kitti_infos_test.pkl'), 'wb') as f:
+            pickle.dump(infos_test, f)
 
     print('--------------- Start create groundtruth database ---------------')
     dataset.set_split(train_split)

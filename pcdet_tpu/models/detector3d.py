@@ -88,6 +88,43 @@ def post_process_sample(cls_preds, box_preds, score_thresh, nms_thresh,
     }
 
 
+def multi_classes_nms_sample(cls_preds, box_preds, score_thresh, nms_thresh,
+                             nms_pre, nms_post, use_raw_score=True):
+    """Per-class rotated NMS (reference detector3d.multi_classes_nms:238-276),
+    fixed shape: each class gets nms_post slots, concatenated.
+
+    :param cls_preds: (A, C) raw logits
+    :return: same dict shape as post_process_sample but with C*nms_post slots
+    """
+    num_class = cls_preds.shape[-1]
+    boxes5 = jnp_common.boxes3d_to_bev_corner_format(box_preds)
+    outs = []
+    for k in range(num_class):
+        rank_scores = cls_preds[:, k]
+        normalized = jax.nn.sigmoid(rank_scores)
+        valid = normalized >= score_thresh
+        selected, num = nms_ops.nms_bev(boxes5, rank_scores, nms_thresh,
+                                        pre_max=nms_pre, post_max=nms_post,
+                                        valid_mask=valid)
+        ok = selected >= 0
+        sel = jnp.where(ok, selected, 0)
+        outs.append({
+            'boxes': box_preds[sel] * ok[:, None].astype(box_preds.dtype),
+            'scores': jnp.where(ok, rank_scores[sel] if use_raw_score
+                                else normalized[sel], 0.0),
+            'labels': jnp.where(ok, k + 1, 0).astype(jnp.int32),
+            'valid': ok,
+            'num': num,
+        })
+    return {
+        'boxes': jnp.concatenate([o['boxes'] for o in outs], axis=0),
+        'scores': jnp.concatenate([o['scores'] for o in outs], axis=0),
+        'labels': jnp.concatenate([o['labels'] for o in outs], axis=0),
+        'valid': jnp.concatenate([o['valid'] for o in outs], axis=0),
+        'num': sum(o['num'] for o in outs),
+    }
+
+
 def post_process_batch(batch_cls_preds, batch_box_preds, test_cfg,
                        class_labels_override=None):
     """Map post_process_sample over the batch.
@@ -97,8 +134,11 @@ def post_process_batch(batch_cls_preds, batch_box_preds, test_cfg,
     matrix under vmap makes XLA choose a batch-minor tiled layout with ~32x
     padding blow-up (observed 8 GB for B=4, pre=4096).
     """
+    base = (multi_classes_nms_sample
+            if bool(test_cfg.get('MULTI_CLASSES_NMS', False))
+            else post_process_sample)
     fn = partial(
-        post_process_sample,
+        base,
         score_thresh=float(test_cfg.SCORE_THRESH),
         nms_thresh=float(test_cfg.NMS_THRESH),
         nms_pre=int(test_cfg.NMS_PRE_MAXSIZE_LAST),

@@ -126,4 +126,8 @@ class ResidualCoder:
             dir_rot = jnp_common.limit_period(
                 batch_box_preds[..., 6] - dir_offset, dir_limit_offset, period)
             rot = dir_rot + dir_offset + period * dir_labels.astype(batch_box_preds.dtype)
-        return batch_box_preds.at[..., 6].set(rot)
+        # NOTE: concatenate instead of .at[..., 6].set — the scatter lowering
+        # of a lane-indexed set on a large (B, A, 7) array is pathologically
+        # slow on TPU (measured 38 s/batch vs <1 ms for the concat).
+        return jnp.concatenate([batch_box_preds[..., :6], rot[..., None],
+                                batch_box_preds[..., 7:]], axis=-1)
