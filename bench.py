@@ -14,11 +14,17 @@ achieves). vs_baseline = fps / 42.
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+# persistent compile cache: first compile through the remote-compile tunnel is
+# slow (~10 min for the fused detect program); cache it across runs
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                      str(Path(__file__).resolve().parent / '.jax_cache'))
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
 
 import numpy as np
 
@@ -89,15 +95,18 @@ def main():
     }
     variables = model.init_variables(jax.random.PRNGKey(0), batch0)
 
-    preds = detect_jit(variables, scans, masks)
-    jax.block_until_ready(preds)
-    for _ in range(WARMUP - 1):
-        jax.block_until_ready(detect_jit(variables, scans, masks))
+    def run_once():
+        preds = detect_jit(variables, scans, masks)
+        # fetch a value: block_until_ready is unreliable through remote
+        # PJRT tunnels, a host read is the honest sync point
+        return float(np.asarray(preds['num']).sum())
+
+    for _ in range(WARMUP):
+        run_once()
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        preds = detect_jit(variables, scans, masks)
-    jax.block_until_ready(preds)
+        run_once()
     dt = time.perf_counter() - t0
 
     fps = BATCH * ITERS / dt

@@ -1,0 +1,223 @@
+"""Pallas TPU kernel: rotated-rectangle intersection areas over a pair grid.
+
+Replaces the XLA lowering of ops.rotated_iou.quad_intersection_area for the
+NMS hot path: the jnp formulation costs ~500-750 ns/pair on v5e (dominated by
+a 24-way argsort with hostile layouts); this kernel keeps the per-pair
+algorithm in VMEM, orders the intersection-polygon vertices with a sort-free
+min-angular-gap scan (diamond pseudo-angles, no transcendentals), and runs
+the whole pair tile on the VPU.
+
+Tile layout: (TM=8 sublanes) x (TN=128 lanes) pairs per program; each scalar
+of the per-pair algorithm is an (8, 128) vector register.  The 24 candidate
+vertices live in (24, TM, TN) VMEM scratch and the dedup / successor scans
+are fori_loops, keeping the live set and code size small (a fully unrolled
+version blows the 16 MB scoped-vmem stack).
+
+API: `pair_overlap(corners_a (M, 4, 2), corners_b (N, 4, 2)) -> (M, N)`
+intersection areas, matching ops.rotated_iou.quad_intersection_area.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TM = 8
+TN = 128
+EPS = 1e-8
+INSIDE_EPS = 1e-6
+DUP_TOL = 1e-6
+BIG = 1e9
+N_CAND = 24
+
+
+def _diamond_angle(dx, dy):
+    """Monotonic-in-angle pseudo-angle in [0, 4) — no transcendentals."""
+    adx = jnp.abs(dx)
+    ady = jnp.abs(dy)
+    denom = jnp.maximum(adx + ady, EPS)
+    q1 = dy / denom
+    q2 = 1.0 + adx / denom
+    q3 = 2.0 + ady / denom
+    q4 = 3.0 + dx / denom
+    pos_x = dx >= 0
+    pos_y = dy >= 0
+    return jnp.where(pos_x & pos_y, q1,
+                     jnp.where((~pos_x) & pos_y, q2,
+                               jnp.where((~pos_x) & (~pos_y), q3, q4)))
+
+
+def _overlap_kernel(a_ref, b_ref, out_ref, px_s, py_s, va_s, ang_s,
+                    bg_s, bx_s, by_s):
+    # a_ref: (TM, 8) [x0 y0 ... x3 y3] CCW corners; b_ref: (TN, 8)
+    a = a_ref[:]
+    b = b_ref[:]
+    ax = [a[:, 2 * k][:, None] for k in range(4)]     # (TM, 1)
+    ay = [a[:, 2 * k + 1][:, None] for k in range(4)]
+    bx = [b[:, 2 * k][None, :] for k in range(4)]     # (1, TN)
+    by = [b[:, 2 * k + 1][None, :] for k in range(4)]
+    zeros = jnp.zeros((TM, TN), jnp.float32)
+
+    def cross(ox, oy, px, py, qx, qy):
+        return (px - ox) * (qy - oy) - (qx - ox) * (py - oy)
+
+    def inside(quad_x, quad_y, px, py):
+        ok = None
+        for e in range(4):
+            c = cross(quad_x[e] + zeros, quad_y[e] + zeros,
+                      quad_x[(e + 1) % 4] + zeros, quad_y[(e + 1) % 4] + zeros,
+                      px, py)
+            cond = c >= -INSIDE_EPS
+            ok = cond if ok is None else (ok & cond)
+        return ok
+
+    # ---- phase 1: write the 24 candidates into scratch
+    for k in range(4):
+        px = ax[k] + zeros
+        py = ay[k] + zeros
+        px_s[k] = px
+        py_s[k] = py
+        va_s[k] = inside(bx, by, px, py).astype(jnp.float32)
+    for k in range(4):
+        px = bx[k] + zeros
+        py = by[k] + zeros
+        px_s[4 + k] = px
+        py_s[4 + k] = py
+        va_s[4 + k] = inside(ax, ay, px, py).astype(jnp.float32)
+
+    slot = 8
+    for i in range(4):
+        p0x, p0y = ax[i] + zeros, ay[i] + zeros
+        rx = (ax[(i + 1) % 4] - ax[i]) + zeros
+        ry = (ay[(i + 1) % 4] - ay[i]) + zeros
+        for j in range(4):
+            q0x, q0y = bx[j] + zeros, by[j] + zeros
+            sx = (bx[(j + 1) % 4] - bx[j]) + zeros
+            sy = (by[(j + 1) % 4] - by[j]) + zeros
+            denom = rx * sy - ry * sx
+            safe = jnp.where(jnp.abs(denom) > EPS, denom, 1.0)
+            qpx = q0x - p0x
+            qpy = q0y - p0y
+            t = (qpx * sy - qpy * sx) / safe
+            u = (qpx * ry - qpy * rx) / safe
+            ok = ((jnp.abs(denom) > EPS) & (t >= 0) & (t <= 1)
+                  & (u >= 0) & (u <= 1))
+            px_s[slot] = p0x + t * rx
+            py_s[slot] = p0y + t * ry
+            va_s[slot] = ok.astype(jnp.float32)
+            slot += 1
+
+    # All remaining phases operate on the whole (N_CAND, TM, TN) block with
+    # STATIC loops over the candidate axis only — Mosaic cannot legalize
+    # dynamic-trip scf.for / dynamic leading-dim indexing here, and fully
+    # unrolled pairwise code blows the scoped-vmem stack.
+
+    # Remaining phases: fori_loops over the candidate axis, using dynamic
+    # REF loads (supported) — dynamic slices/scatters on values and dynamic
+    # ref stores are not lowerable by this Mosaic, and fully unrolled loops
+    # blow the scoped-vmem stack.  Loop state lives in scratch refs, updated
+    # with full-block static stores; carries are scalars.
+    cand_idx = jax.lax.broadcasted_iota(jnp.int32, (N_CAND, TM, TN), 0)
+
+    # ---- phase 2: dedup exactly-coincident candidates (keep first)
+    def dedup_body(j, carry):
+        same = ((va_s[:] > 0) & (cand_idx < j)
+                & (jnp.abs(px_s[:] - px_s[j]) < DUP_TOL)
+                & (jnp.abs(py_s[:] - py_s[j]) < DUP_TOL))
+        dup = same.any(axis=0)
+        # elementwise masked update — .at[].set would be a Mosaic scatter
+        va_s[:] = jnp.where((cand_idx == j) & dup[None], 0.0, va_s[:])
+        return carry
+
+    jax.lax.fori_loop(1, N_CAND, dedup_body, 0)
+
+    # ---- phase 3: centroid + pseudo-angles (vectorised over candidates)
+    va_all = va_s[:]
+    px_all = px_s[:]
+    py_all = py_s[:]
+    count = jnp.sum(va_all, axis=0)                     # (TM, TN)
+    denom_c = jnp.maximum(count, 1.0)
+    cx = jnp.sum(px_all * va_all, axis=0) / denom_c
+    cy = jnp.sum(py_all * va_all, axis=0) / denom_c
+    ang_s[:] = jnp.where(va_all > 0,
+                         _diamond_angle(px_all - cx[None], py_all - cy[None]),
+                         BIG)
+
+    # ---- phase 4: shoelace via min-positive-angular-gap successor
+    bg_s[:] = jnp.full((N_CAND, TM, TN), BIG, jnp.float32)
+    bx_s[:] = px_all
+    by_s[:] = py_all
+
+    def succ_body(j, carry):
+        gap = ang_s[j][None] - ang_s[:]             # successor j for each i
+        gap = jnp.where(gap <= 0.0, gap + 4.0, gap)
+        ok = ((va_s[j] > 0)[None] & (va_s[:] > 0) & (cand_idx != j))
+        gap = jnp.where(ok, gap, BIG)
+        take = gap < bg_s[:]
+        bg_s[:] = jnp.where(take, gap, bg_s[:])
+        bx_s[:] = jnp.where(take, px_s[j][None], bx_s[:])
+        by_s[:] = jnp.where(take, py_s[j][None], by_s[:])
+        return carry
+
+    jax.lax.fori_loop(0, N_CAND, succ_body, 0)
+
+    terms = px_all * by_s[:] - bx_s[:] * py_all
+    terms = jnp.where((va_all > 0) & (bg_s[:] < BIG / 2), terms, 0.0)
+    area = 0.5 * jnp.abs(jnp.sum(terms, axis=0))
+    out_ref[:] = jnp.where(count >= 3.0, area, 0.0)
+
+
+def _pad_to(x, m, axis):
+    pad = (-x.shape[axis]) % m
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@jax.jit
+def pair_overlap(corners_a, corners_b):
+    """(M, 4, 2) x (N, 4, 2) -> (M, N) rotated intersection areas."""
+    m, n = corners_a.shape[0], corners_b.shape[0]
+    a = _pad_to(corners_a.reshape(m, 8).astype(jnp.float32), TM, 0)
+    b = _pad_to(corners_b.reshape(n, 8).astype(jnp.float32), TN, 0)
+    mp, np_ = a.shape[0], b.shape[0]
+
+    grid = (mp // TM, np_ // TN)
+    out = pl.pallas_call(
+        _overlap_kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, 8), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        # Mosaic's per-SSA stack accounting over this kernel exceeds the
+        # 16 MB default scoped-vmem budget; the true working set is < 1 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        scratch_shapes=[
+            pltpu.VMEM((N_CAND, TM, TN), jnp.float32),   # px
+            pltpu.VMEM((N_CAND, TM, TN), jnp.float32),   # py
+            pltpu.VMEM((N_CAND, TM, TN), jnp.float32),   # valid
+            pltpu.VMEM((N_CAND, TM, TN), jnp.float32),   # angle
+            pltpu.VMEM((N_CAND, TM, TN), jnp.float32),   # best gap
+            pltpu.VMEM((N_CAND, TM, TN), jnp.float32),   # best x
+            pltpu.VMEM((N_CAND, TM, TN), jnp.float32),   # best y
+        ],
+    )(a, b)
+    return out[:m, :n]
+
+
+def boxes5_pair_overlap(boxes_a, boxes_b):
+    """(M, 5) x (N, 5) [x1,y1,x2,y2,ang] -> (M, N) intersection areas."""
+    from .. import rotated_iou
+    return pair_overlap(rotated_iou.boxes5_to_corners(boxes_a),
+                        rotated_iou.boxes5_to_corners(boxes_b))
