@@ -278,6 +278,11 @@ class PartA2Net:
                 batch['coordinates'], batch['voxel_mask'], True,
                 mutable=['batch_stats'])
             stage1_stats = updated['batch_stats']
+            if bool(self.cfg.MODEL.RPN.get('PARAMS_FIXED', False)):
+                # freeze stage-1 (reference PartA2_net.forward_rpn:17
+                # torch.set_grad_enabled(False)): losses still computed, but
+                # no gradient reaches UNet/RPN parameters
+                ret = jax.tree_util.tree_map(jax.lax.stop_gradient, ret)
         else:
             ret = self.module.apply(
                 stage1_vars, batch['voxels'], batch['num_points'],

@@ -15,6 +15,18 @@ from .checkpoint import save_checkpoint
 from .train_state import make_train_step
 
 
+def _wandb_log(scalars, step):
+    """Optional wandb mirror (the fork hard-wires wandb,
+    reference tools/train.py:84-86 / train_utils.py:72-74; here it's used
+    only if the package is importable AND a run was initialised)."""
+    try:
+        import wandb
+        if wandb.run is not None:
+            wandb.log(scalars, step=step)
+    except ImportError:
+        pass
+
+
 def _to_device_batch(batch, mesh=None):
     keep = {k: v for k, v in batch.items()
             if isinstance(v, np.ndarray) and v.dtype != object}
@@ -66,6 +78,7 @@ def train_model(model, state, tx, train_loader, total_epochs,
                         tb_log.add_scalar('train_' + k, v, step)
                     if lr is not None:
                         tb_log.add_scalar('learning_rate', lr, step)
+                _wandb_log(tb_host, step)
 
         if logger is not None:
             logger.info('epoch %d done in %.1fs (%d iters)'
