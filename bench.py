@@ -95,18 +95,21 @@ def main():
     }
     variables = model.init_variables(jax.random.PRNGKey(0), batch0)
 
-    def run_once():
-        preds = detect_jit(variables, scans, masks)
-        # fetch a value: block_until_ready is unreliable through remote
-        # PJRT tunnels, a host read is the honest sync point
+    def fetch(preds):
+        # a host value read is the only reliable sync point: block_until_ready
+        # is a no-op through remote PJRT tunnels
         return float(np.asarray(preds['num']).sum())
 
     for _ in range(WARMUP):
-        run_once()
+        fetch(detect_jit(variables, scans, masks))
 
+    # throughput timing: enqueue ITERS batches (device executes them in
+    # program order), sync once at the end
     t0 = time.perf_counter()
+    preds = None
     for _ in range(ITERS):
-        run_once()
+        preds = detect_jit(variables, scans, masks)
+    fetch(preds)
     dt = time.perf_counter() - t0
 
     fps = BATCH * ITERS / dt
