@@ -119,7 +119,12 @@ class TorchConv(nn.Module):
 
 
 class TorchConvTranspose(nn.Module):
-    """2D transposed conv (NHWC), kernel == stride (the only mode RPNV2 uses)."""
+    """2D transposed conv (NHWC), kernel == stride (the only mode RPNV2 uses).
+
+    Exact torch ConvTranspose2d semantics
+    (out[i*s+a, j*s+b, o] = sum_c x[i, j, c] * w[a, b, c, o]) expressed as a
+    single matmul + pixel shuffle — lands on the MXU with no scatter.
+    """
     features: int
     stride: int = 2
     use_bias: bool = True
@@ -131,13 +136,13 @@ class TorchConvTranspose(nn.Module):
         fan_in = self.features * s * s
         kernel = self.param('kernel', torch_uniform_init(fan_in),
                             (s, s, x.shape[-1], self.features))
-        y = jax.lax.conv_transpose(
-            x, kernel,
-            strides=(s, s),
-            padding='VALID',
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-            preferred_element_type=jnp.float32,
-        )
+        n, h, w, c = x.shape
+        k2 = kernel.transpose(2, 0, 1, 3).reshape(c, s * s * self.features)
+        y = jnp.dot(x.reshape(-1, c), k2,
+                    preferred_element_type=jnp.float32)
+        y = y.reshape(n, h, w, s, s, self.features)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * s, w * s,
+                                                  self.features)
         if self.use_bias:
             b = self.param('bias', torch_uniform_init(fan_in), (self.features,))
             y = y + b
