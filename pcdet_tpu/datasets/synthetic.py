@@ -94,8 +94,58 @@ class SyntheticDataset(DatasetTemplate):
     def __getitem__(self, index):
         return self.prepare_data(self.get_raw(index), has_label=True)
 
-    def generate_prediction_dict(self, *a, **k):
-        raise NotImplementedError
+    # ------------------------------------------------------------------
+    # Eval glue: map lidar boxes into a pseudo camera frame
+    # (x_c, y_c, z_c) = (-y_l, -z_l, x_l) — a pure rotation, so rotated
+    # IoU between GT and detections is preserved — and reuse the full
+    # official KITTI AP evaluator.
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _lidar_to_camera_annos(boxes_lidar, names, scores=None):
+        n = boxes_lidar.shape[0]
+        loc = np.stack([-boxes_lidar[:, 1], -boxes_lidar[:, 2],
+                        boxes_lidar[:, 0]], axis=1)
+        dims = boxes_lidar[:, [4, 5, 3]]            # (l, h, w)
+        anno = {
+            'name': np.asarray(names),
+            'truncated': np.zeros(n),
+            'occluded': np.zeros(n, dtype=np.int64),
+            'alpha': np.full(n, -10.0),
+            'bbox': np.tile(np.array([[0., 0., 200., 160.]]), (n, 1)),
+            'dimensions': dims.reshape(-1, 3),
+            'location': loc.reshape(-1, 3),
+            'rotation_y': boxes_lidar[:, 6].reshape(-1),
+            'score': (np.asarray(scores) if scores is not None
+                      else np.zeros(n)),
+            'boxes_lidar': boxes_lidar,
+        }
+        return anno
+
+    def gt_annos(self):
+        annos = []
+        for i in range(len(self)):
+            raw = self.get_raw(i)
+            annos.append(self._lidar_to_camera_annos(raw['gt_boxes_lidar'],
+                                                     raw['gt_names']))
+        return annos
+
+    def generate_annotations(self, batch, preds, class_names,
+                             save_to_file=False, output_dir=None):
+        annos = []
+        for i in range(batch['batch_size']):
+            valid = preds['valid'][i]
+            boxes = np.asarray(preds['boxes'][i][valid])
+            scores = np.asarray(preds['scores'][i][valid])
+            labels = np.asarray(preds['labels'][i][valid])
+            names = np.array([class_names[int(l) - 1] for l in labels])
+            anno = self._lidar_to_camera_annos(boxes[:, :7], names, scores)
+            anno['num_example'] = len(names)
+            anno['sample_idx'] = np.array(
+                [batch['sample_idx'][i]] * len(names))
+            annos.append(anno)
+        return annos
 
     def evaluation(self, det_annos, class_names, **kwargs):
-        raise NotImplementedError
+        from .kitti.kitti_eval import eval as kitti_eval
+        return kitti_eval.get_official_eval_result(self.gt_annos(), det_annos,
+                                                   class_names)

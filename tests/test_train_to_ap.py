@@ -1,0 +1,59 @@
+"""Full-loop integration: overfit tiny PointPillar on synthetic scenes, then
+run the eval loop (decode + NMS + annos + official KITTI AP) and require a
+high AP — exercises targets -> losses -> optimizer -> predict -> evaluator.
+"""
+import numpy as np
+import pytest
+
+from tiny_config import tiny_pointpillar_cfg
+
+
+@pytest.mark.slow
+def test_overfit_reaches_nontrivial_ap(tmp_path):
+    import jax
+    import optax
+    from pcdet_tpu.datasets.synthetic import SyntheticDataset
+    from pcdet_tpu.datasets.loader import DataLoader
+    from pcdet_tpu.datasets.dataset import collate_batch
+    from pcdet_tpu.models.pointpillar import PointPillar
+    from pcdet_tpu.train.eval_loop import eval_one_epoch
+    from pcdet_tpu.train.train_state import create_train_state, make_train_step
+
+    cfg = tiny_pointpillar_cfg(num_class=1)
+    cfg.DATA_CONFIG.SYNTHETIC.NUM_SAMPLES = 4
+    cfg.DATA_CONFIG.SYNTHETIC.NUM_OBJECTS = 6
+    cfg.MODEL.TEST.SCORE_THRESH = 0.3
+
+    train_ds = SyntheticDataset(cfg, training=True)
+    model = PointPillar(cfg, train_ds.grid_size)
+    train_ds.set_anchor_targets(model.anchor_targets)
+
+    batch_np = collate_batch([train_ds[i] for i in range(4)])
+    batch = {k: jax.numpy.asarray(v) for k, v in batch_np.items()
+             if isinstance(v, np.ndarray) and v.dtype != object}
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+
+    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(3e-3))
+    state = create_train_state(variables, tx)
+    step_fn = make_train_step(model, tx, donate=False)
+
+    losses = []
+    for i in range(700):
+        state, tb = step_fn(state, batch)
+        if i % 100 == 0:
+            losses.append(float(jax.device_get(tb['loss'])))
+    assert losses[-1] < losses[0], losses
+
+    # eval on the same (training=False) scenes with the full pipeline
+    val_ds = SyntheticDataset(cfg, training=False)
+    val_loader = DataLoader(val_ds, batch_size=2, shuffle=False,
+                            num_workers=0, drop_last=False)
+    result = eval_one_epoch(model, state.params, state.batch_stats,
+                            val_loader, cfg, result_dir=str(tmp_path))
+    ap = result['Car_3d_easy']
+    recall = result['recall/rcnn_0.5'] / max(result['recall/gt'], 1)
+    # This tiny CPU model won't reach production AP; the point is regression
+    # coverage of the full loop: an unwired/untrained pipeline scores ~0 on
+    # both metrics (measured: AP ~18, recall ~0.4 at this budget).
+    assert recall > 0.2, result
+    assert ap > 8.0, (ap, result)
