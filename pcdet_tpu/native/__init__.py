@@ -13,7 +13,8 @@ import subprocess
 import numpy as np
 
 _THIS_DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_THIS_DIR, 'kitti_eval_native.cpp')
+_SRCS = [os.path.join(_THIS_DIR, 'kitti_eval_native.cpp'),
+         os.path.join(_THIS_DIR, 'voxelizer_native.cpp')]
 _LIB = None
 _BUILD_FAILED = False
 
@@ -25,9 +26,12 @@ def _build_dir():
 
 
 def _lib_path():
-    with open(_SRC, 'rb') as f:
-        digest = hashlib.sha1(f.read()).hexdigest()[:12]
-    return os.path.join(_build_dir(), 'libkitti_eval_%s.so' % digest)
+    h = hashlib.sha1()
+    for src in _SRCS:
+        with open(src, 'rb') as f:
+            h.update(f.read())
+    return os.path.join(_build_dir(), 'libpcdet_native_%s.so'
+                        % h.hexdigest()[:12])
 
 
 def get_lib():
@@ -38,7 +42,7 @@ def get_lib():
     path = _lib_path()
     if not os.path.exists(path):
         cmd = ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
-               '-fopenmp', '-o', path, _SRC]
+               '-fopenmp', '-o', path] + _SRCS
         try:
             subprocess.run(cmd, check=True, capture_output=True)
         except Exception:
@@ -70,8 +74,54 @@ def get_lib():
         c_double_p, ctypes.c_long, c_double_p, c_long_p, c_long_p, c_long_p,
         ctypes.c_long, c_double_p, c_double_p, c_double_p, c_long_p, c_long_p,
         ctypes.c_int, ctypes.c_double, c_double_p, ctypes.c_long, ctypes.c_int]
+    c_float_p = ctypes.POINTER(ctypes.c_float)
+    c_int_p = ctypes.POINTER(ctypes.c_int)
+    lib.voxelize.argtypes = [
+        c_float_p, ctypes.c_long, ctypes.c_int, c_float_p, c_float_p,
+        c_long_p, ctypes.c_int, ctypes.c_long, c_float_p, c_int_p, c_int_p,
+        c_long_p]
+    lib.voxelize.restype = ctypes.c_long
     _LIB = lib
     return _LIB
+
+
+def voxelize(points, voxel_size, pc_range_min, grid_size, max_pts,
+             max_voxels):
+    """Native host voxelizer; returns None if the library is unavailable.
+
+    :param points: (P, C) float32, xyz first
+    :return: dict(voxels, coordinates, num_points_per_voxel, num_voxels,
+                  voxel_pt_indices_into_original_pt_cloud)
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    points = np.ascontiguousarray(points, dtype=np.float32)
+    p, c = points.shape
+    voxels = np.empty((max_voxels, max_pts, c), dtype=np.float32)
+    coords = np.empty((max_voxels, 3), dtype=np.int32)
+    num_points = np.empty(max_voxels, dtype=np.int32)
+    pt_indices = np.empty((max_voxels, max_pts), dtype=np.int64)
+    vs = np.ascontiguousarray(voxel_size, dtype=np.float32)
+    rmin = np.ascontiguousarray(pc_range_min, dtype=np.float32)
+    gs = np.ascontiguousarray(grid_size, dtype=np.int64)
+
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int)
+    i64p = ctypes.POINTER(ctypes.c_long)
+    n_vox = lib.voxelize(
+        points.ctypes.data_as(f32p), p, c,
+        vs.ctypes.data_as(f32p), rmin.ctypes.data_as(f32p),
+        gs.ctypes.data_as(i64p), int(max_pts), int(max_voxels),
+        voxels.ctypes.data_as(f32p), coords.ctypes.data_as(i32p),
+        num_points.ctypes.data_as(i32p), pt_indices.ctypes.data_as(i64p))
+    return {
+        'voxels': voxels,
+        'coordinates': coords,
+        'num_points_per_voxel': num_points,
+        'num_voxels': int(n_vox),
+        'voxel_pt_indices_into_original_pt_cloud': pt_indices,
+    }
 
 
 def _as_c(arr, dtype):

@@ -48,6 +48,19 @@ class VoxelGenerator:
         points = np.asarray(points)
         p = points.shape[0]
 
+        # native single-pass hash voxelizer (pcdet_tpu/native), ~10x the
+        # numpy path; falls back transparently when g++ is unavailable
+        from .. import native
+        out = native.voxelize(points.astype(np.float32, copy=False),
+                              self.voxel_size, self.point_cloud_range[:3],
+                              self.grid_size, self.max_num_points, max_voxels)
+        if out is not None:
+            if not pad_to_max:
+                n = out['num_voxels']
+                out = {k: (v[:n] if isinstance(v, np.ndarray) else v)
+                       for k, v in out.items()}
+            return out
+
         grid = self.grid_size                                    # [nx, ny, nz]
         coords_f = (points[:, :3] - self.point_cloud_range[:3]) / self.voxel_size
         coords = np.floor(coords_f).astype(np.int64)             # (P, 3) xyz
