@@ -31,6 +31,9 @@ class PointPillarNet(nn.Module):
     pc_range: Sequence[float]
     rpn_args: Dict[str, Any]
     use_norm: bool = True
+    with_bev_seg: bool = False        # fork capability: BEV segmentation head
+    bev_num_classes: int = 2
+    bev_out_size: int = 200
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, voxel_mask, train: bool):
@@ -59,6 +62,15 @@ class PointPillarNet(nn.Module):
             num_direction_bins=a.get('num_direction_bins', 2),
             name='rpn_head')(canvas, train)
         ret['spatial_features'] = canvas
+        if self.with_bev_seg:
+            # fork extension: BEV segmentation head over the FPN features
+            # (reference pointpillar.py:64-66 + experiments.py:292-394,
+            # without the 1e-7 detection-loss contamination)
+            from ..experiments import BEVSegHead
+            ret['bev_seg_logits'] = BEVSegHead(
+                num_classes=self.bev_num_classes,
+                out_size=self.bev_out_size,
+                name='bev_seg_head')(ret['spatial_features_last'], train)
         return ret
 
 
@@ -81,6 +93,7 @@ class PointPillar:
 
         vfe_args = model_cfg.VFE.ARGS
         data_cfg = cfg.DATA_CONFIG
+        self.with_bev_seg = 'bev' in str(cfg.get('MODE', ''))
         self.module = PointPillarNet(
             num_class=self.num_class,
             num_anchors_per_location=self.anchor_targets.num_anchors_per_location,
@@ -92,6 +105,7 @@ class PointPillar:
             pc_range=tuple(data_cfg.POINT_CLOUD_RANGE),
             rpn_args=self.head_args,
             use_norm=bool(vfe_args.get('use_norm', True)),
+            with_bev_seg=self.with_bev_seg,
         )
 
     # ------------------------------------------------------------------
@@ -136,6 +150,20 @@ class PointPillar:
             dir_offset=self.head_args.get('dir_offset', 0.78539),
             num_direction_bins=self.head_args.get('num_direction_bins', 2),
         )
+
+    def loss_with_bev(self, ret_dict, batch):
+        """Detection loss + BEV seg loss when MODE requests it and the batch
+        carries BEV GT masks (fork capability, kept additive — the fork's
+        1e-7 detection-loss scaling is a bug we do not reproduce)."""
+        det_loss, tb = self.loss(ret_dict, batch)
+        if self.with_bev_seg and 'bev' in batch:
+            from ..experiments import bev_seg_loss
+            bev_loss, tb_bev = bev_seg_loss(ret_dict['bev_seg_logits'],
+                                            batch['bev'])
+            tb.update(tb_bev)
+            det_loss = det_loss + bev_loss
+            tb['loss'] = det_loss
+        return det_loss, tb
 
     def predict(self, ret_dict):
         """Decoded + NMS'd fixed-shape predictions (B, post_max, ...)."""
