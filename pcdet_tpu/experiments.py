@@ -23,7 +23,7 @@ The external HRNet segmentation/depth networks stay out of scope (external
 dependency); any flax image network returning per-pixel features can be
 injected through the interfaces here.
 """
-from typing import Callable, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -12,7 +12,7 @@ BatchNorm over voxels uses the masked TorchBatchNorm (stats over active
 voxels only — exactly spconv's BatchNorm1d over the ragged voxel list).
 """
 import math
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -5,7 +5,7 @@ partA2_rcnn_net.py.  The whole train step (UNet + RPN + proposal NMS + RoI
 sampling + RoI-aware pooling + RCNN) runs inside one jit; the only host work
 is the data pipeline.
 """
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax

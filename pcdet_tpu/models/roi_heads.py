@@ -13,7 +13,7 @@ Parity targets:
     (bias-free convs, zero inactive inputs) and maps straight onto the MXU.
 """
 import math
-from typing import Any, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

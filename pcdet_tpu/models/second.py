@@ -4,7 +4,7 @@ Parity target: reference pcdet/models/detectors/second_net.py — MeanVFE ->
 SparseConvTensor (sparse_shape = grid[::-1] + [1, 0, 0]) -> BackBone8x ->
 RPNV2, trained with the same anchor losses as PointPillar.
 """
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax

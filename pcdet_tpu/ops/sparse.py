@@ -26,7 +26,7 @@ outputs wherever the receptive field touches an input; out-of-grid taps are
 zero; no bias (the reference backbones all use bias=False + BN).
 """
 from functools import partial
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
