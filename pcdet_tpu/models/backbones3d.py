@@ -65,28 +65,36 @@ class SpConvBNReLU(nn.Module):
 
 
 class BackBone8x(nn.Module):
-    """SECOND sparse encoder -> dense BEV features."""
+    """SECOND sparse encoder -> dense BEV features.
+
+    `level_caps` (optional, len 3): static voxel caps for the three strided
+    levels — deeper levels carry fewer active voxels than the input cap, so
+    tightening them cuts rulebook+gather cost proportionally.  Defaults to
+    the input cap everywhere (no truncation risk).
+    """
     sparse_shape: Tuple[int, int, int]       # (41, 1600, 1408)
     last_pad: Tuple[int, int, int] = (0, 0, 0)
     use_norm: bool = True
+    level_caps: Tuple[int, int, int] = (0, 0, 0)
 
     @nn.compact
     def __call__(self, level, train: bool):
         """:param level: batched SparseLevel at full resolution;
         :return: (B, H, W, C*D) dense BEV + encoder levels."""
         cap = level.features.shape[1]
+        caps = [c or cap for c in self.level_caps]
         x = SpConvBNReLU(16, name='conv_input')(level, train)
         x1 = SpConvBNReLU(16, name='conv1_0')(x, train)
         x2 = SpConvBNReLU(32, stride=(2, 2, 2), conv_type='spconv',
-                          out_cap=cap, name='conv2_0')(x1, train)
+                          out_cap=caps[0], name='conv2_0')(x1, train)
         x2 = SpConvBNReLU(32, name='conv2_1')(x2, train)
         x2 = SpConvBNReLU(32, name='conv2_2')(x2, train)
         x3 = SpConvBNReLU(64, stride=(2, 2, 2), conv_type='spconv',
-                          out_cap=cap, name='conv3_0')(x2, train)
+                          out_cap=caps[1], name='conv3_0')(x2, train)
         x3 = SpConvBNReLU(64, name='conv3_1')(x3, train)
         x3 = SpConvBNReLU(64, name='conv3_2')(x3, train)
         x4 = SpConvBNReLU(64, stride=(2, 2, 2), padding=(0, 1, 1),
-                          conv_type='spconv', out_cap=cap,
+                          conv_type='spconv', out_cap=caps[2],
                           name='conv4_0')(x3, train)
         x4 = SpConvBNReLU(64, name='conv4_1')(x4, train)
         x4 = SpConvBNReLU(64, name='conv4_2')(x4, train)

@@ -26,6 +26,7 @@ class SECONDNetModule(nn.Module):
     sparse_shape: Tuple[int, int, int]
     last_pad: Tuple[int, int, int]
     rpn_args: Dict[str, Any]
+    level_caps: Tuple[int, int, int] = (0, 0, 0)
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, voxel_mask, train: bool):
@@ -35,6 +36,7 @@ class SECONDNetModule(nn.Module):
                                       self.sparse_shape)
         bev, encoder_levels = BackBone8x(
             sparse_shape=self.sparse_shape, last_pad=self.last_pad,
+            level_caps=self.level_caps,
             name='backbone_3d')(level, train)
         a = self.rpn_args
         ret = RPNV2(
@@ -77,12 +79,14 @@ class SECONDNet:
 
         vz = cfg.DATA_CONFIG.VOXEL_GENERATOR.VOXEL_SIZE[-1]
         last_pad = (0, 0, 0) if vz in [0.1, 0.2] else (1, 0, 0)
+        backbone_args = dict(cfg.MODEL.RPN.BACKBONE.get('ARGS', {}))
         self.module = SECONDNetModule(
             num_class=self.num_class,
             num_anchors_per_location=self.anchor_targets.num_anchors_per_location,
             sparse_shape=self.sparse_shape,
             last_pad=last_pad,
             rpn_args=self.head_args,
+            level_caps=tuple(backbone_args.get('level_caps', (0, 0, 0))),
         )
 
     def init_variables(self, rng, batch):

@@ -1,0 +1,80 @@
+"""Pallas TPU kernel: rulebook gather + GEMM for sparse 3D convolution.
+
+XLA's TPU row-gather path runs at ~1 GB/s effective on the (V x K, Cin)
+neighbour gathers of ops.sparse (measured 238 ms for one 16k-voxel layer);
+this kernel keeps the whole feature table VMEM-resident and streams each
+output tile's neighbour rows through scratch with per-row dynamic ref loads
+(supported by Mosaic, unlike vector gathers), accumulating one MXU matmul
+per kernel tap.
+
+API: `gather_matmul(features (V+1, Cin) [row V = zeros], rules (V, K) int32
+in [0, V], weights (K, Cin, Cout)) -> (V, Cout)`, equal to
+
+    features[rules].reshape(V, K*Cin) @ weights.reshape(K*Cin, Cout)
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TV = 64          # output rows per program (static unroll bound)
+
+
+def _kernel(rules_ref, feats_ref, w_ref, out_ref, g_scratch):
+    # rules_ref: (TV, K) int32 in SMEM; feats_ref: (V+1, Cin) VMEM;
+    # w_ref: (K, Cin, Cout) VMEM; out_ref: (TV, Cout); g_scratch: (TV, Cin)
+    k_taps = w_ref.shape[0]
+    cout = w_ref.shape[2]
+
+    def tap_body(k, acc):
+        # per-row dynamic loads (vector gathers are not lowerable); the
+        # row index comes from SMEM as a scalar
+        for i in range(TV):                     # static unroll
+            row = rules_ref[i, k]
+            g_scratch[i, :] = feats_ref[row, :]
+        acc = acc + jnp.dot(g_scratch[:], w_ref[k],
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, k_taps, tap_body, jnp.zeros((TV, cout), jnp.float32))
+    out_ref[:] = acc
+
+
+@jax.jit
+def gather_matmul(features, rules, weights):
+    """:param features: (V+1, Cin) f32, last row zeros
+    :param rules: (V, K) int32 row indices in [0, V]
+    :param weights: (K, Cin, Cout) f32
+    :return: (V, Cout) f32
+    """
+    v, k = rules.shape
+    cin = features.shape[1]
+    cout = weights.shape[2]
+    pad = (-v) % TV
+    if pad:
+        rules = jnp.pad(rules, ((0, pad), (0, 0)),
+                        constant_values=features.shape[0] - 1)
+    vp = rules.shape[0]
+
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((vp, cout), jnp.float32),
+        grid=(vp // TV,),
+        in_specs=[
+            pl.BlockSpec((TV, k), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # full feature table
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # full weights
+        ],
+        out_specs=pl.BlockSpec((TV, cout), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TV, cin), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(rules, features, weights)
+    return out[:v]

@@ -130,12 +130,23 @@ def _gather_gemm(level: SparseLevel, out_coords, out_mask, weights,
     q_ids = linearize(in_coords, level.shape)
     q_ids = jnp.where(valid, q_ids, INT_MAX - 1).astype(jnp.int32)
     rows, found = _lookup(level.ids, q_ids.reshape(-1), valid.reshape(-1))
-    gathered = level.features[rows]                       # (V*K, Cin)
-    gathered = jnp.where(found[:, None], gathered, 0.0)
-    gathered = gathered.reshape(v, k * cin)
 
-    w = weights.reshape(k * cin, -1)
-    out = jnp.dot(gathered, w, preferred_element_type=jnp.float32)
+    if jax.default_backend() != 'cpu':
+        # Pallas rulebook gather+GEMM: XLA's row-gather slow path costs
+        # ~240 ms/layer at V=16k (PERF_NOTES.md); the kernel is ~8x faster.
+        from .pallas.gather_gemm import gather_matmul
+        n_in = level.features.shape[0]
+        rules = jnp.where(found, rows, n_in).reshape(v, k)
+        feats_padded = jnp.concatenate(
+            [level.features, jnp.zeros((1, cin), level.features.dtype)],
+            axis=0)
+        out = gather_matmul(feats_padded, rules, weights)
+    else:
+        gathered = level.features[rows]                   # (V*K, Cin)
+        gathered = jnp.where(found[:, None], gathered, 0.0)
+        gathered = gathered.reshape(v, k * cin)
+        w = weights.reshape(k * cin, -1)
+        out = jnp.dot(gathered, w, preferred_element_type=jnp.float32)
     return out * out_mask[:, None].astype(out.dtype)
 
 
