@@ -91,11 +91,32 @@ def _kernel_offsets(kernel):
     return np.asarray(offs, dtype=np.int32)
 
 
+def _lookup_merge(ids_sorted, query_ids, query_valid):
+    """Sorted-merge id lookup: one stable argsort of [table, queries] plus a
+    rank subtraction replaces searchsorted's ~15 gather rounds (3.4x faster
+    on TPU, PERF_NOTES.md).  side='right' positions via stable tie-breaking
+    (table elements precede equal queries in the concatenation)."""
+    v = ids_sorted.shape[0]
+    m = query_ids.shape[0]
+    comb = jnp.concatenate([ids_sorted, query_ids])
+    order = jnp.argsort(comb, stable=True)
+    is_q = order >= v
+    q_rank = jnp.cumsum(is_q.astype(jnp.int32)) - 1
+    t_count = jnp.arange(v + m, dtype=jnp.int32) - q_rank
+    pos_right = jnp.zeros(m, jnp.int32).at[
+        jnp.where(is_q, order - v, m)].set(t_count, mode='drop')
+    row = jnp.clip(pos_right - 1, 0, v - 1)
+    found = (pos_right > 0) & (ids_sorted[row] == query_ids) & query_valid
+    return row, found
+
+
 def _lookup(ids_sorted, query_ids, query_valid):
-    """Binary-search query ids in the sorted id array.
+    """Find query ids in the sorted id array.
 
     :return: (row indices clamped to [0, V-1], found mask)
     """
+    if jax.default_backend() != 'cpu':
+        return _lookup_merge(ids_sorted, query_ids, query_valid)
     v = ids_sorted.shape[0]
     idx = jnp.searchsorted(ids_sorted, query_ids).astype(jnp.int32)
     idx_c = jnp.clip(idx, 0, v - 1)
