@@ -261,6 +261,8 @@ class PartA2Net:
             'rois': rois,
             'roi_raw_scores': roi_raw_scores,
             'roi_labels': roi_labels,
+            'roi_valid': (targets['roi_valid'] if train
+                          else roi_dict['roi_valid']),
         }
         if targets is not None:
             ret.update({k: v for k, v in targets.items()
@@ -346,6 +348,8 @@ class PartA2Net:
         rcnn = ret_dict['rcnn']
         boxes = decode_rcnn_boxes(rcnn['rcnn_reg'], rcnn['rois'],
                                   self.box_coder.code_size)
-        cls_preds = rcnn['rcnn_cls'][..., None]             # (B, N, 1)
+        # padded proposal slots must never surface as detections
+        cls_preds = jnp.where(rcnn['roi_valid'], rcnn['rcnn_cls'],
+                              -1e9)[..., None]              # (B, N, 1)
         return post_process_batch(cls_preds, boxes, self.cfg.MODEL.TEST,
                                   class_labels_override=rcnn['roi_labels'])

@@ -6,11 +6,22 @@ pickle, dataset.evaluation() for the final metric dict.
 """
 import pickle
 import time
+from functools import partial
 
 import jax
 import numpy as np
 
 from .train_state import make_eval_forward
+
+
+@partial(jax.jit, static_argnames=('thresh_list',))
+def _batch_recall(boxes, valid, gt_boxes, thresh_list):
+    """Batched recall counters (jitted once; the per-sample eager version
+    pays a host round trip per frame through remote backends)."""
+    from ..models.detector3d import recall_counts
+    per = jax.vmap(lambda b, v, g: recall_counts(b, v, g, thresh_list))(
+        boxes, valid, gt_boxes)
+    return {k: v.sum() for k, v in per.items()}
 
 
 def eval_one_epoch(model, params, batch_stats, dataloader, cfg,
@@ -35,16 +46,13 @@ def eval_one_epoch(model, params, batch_stats, dataloader, cfg,
         n_examples += batch['batch_size']
 
         if 'gt_boxes' in batch:
-            from ..models.detector3d import recall_counts
-            for i in range(batch['batch_size']):
-                rc = recall_counts(
-                    jax.numpy.asarray(preds['boxes'][i]),
-                    jax.numpy.asarray(preds['valid'][i]),
-                    jax.numpy.asarray(batch['gt_boxes'][i]),
-                    tuple(cfg.MODEL.TEST.RECALL_THRESH_LIST))
-                for k, v in rc.items():
-                    recall[k if k == 'gt' else k] = recall.get(
-                        k, 0) + int(jax.device_get(v))
+            rc = _batch_recall(
+                jax.numpy.asarray(preds['boxes']),
+                jax.numpy.asarray(preds['valid']),
+                jax.numpy.asarray(batch['gt_boxes']),
+                tuple(cfg.MODEL.TEST.RECALL_THRESH_LIST))
+            for k, v in rc.items():
+                recall[k] = recall.get(k, 0) + int(jax.device_get(v))
 
         annos = dataset.generate_annotations(
             batch, preds, class_names,

@@ -19,6 +19,7 @@ def test_overfit_reaches_nontrivial_ap(tmp_path):
     from pcdet_tpu.train.eval_loop import eval_one_epoch
     from pcdet_tpu.train.train_state import create_train_state, make_train_step
 
+    np.random.seed(123)     # prepare_data's point shuffle uses global state
     cfg = tiny_pointpillar_cfg(num_class=1)
     cfg.DATA_CONFIG.SYNTHETIC.NUM_SAMPLES = 4
     cfg.DATA_CONFIG.SYNTHETIC.NUM_OBJECTS = 6
