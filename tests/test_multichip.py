@@ -1,0 +1,47 @@
+"""Data-parallel training over the 8-virtual-device CPU mesh."""
+import numpy as np
+import pytest
+
+from tiny_config import tiny_pointpillar_cfg
+
+
+def test_sharded_train_step_runs_and_syncs():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from pcdet_tpu.datasets.synthetic import SyntheticDataset
+    from pcdet_tpu.datasets.dataset import collate_batch
+    from pcdet_tpu.models.pointpillar import PointPillar
+    from pcdet_tpu.train.optimization import build_optimizer_and_schedule
+    from pcdet_tpu.train.train_state import create_train_state, make_train_step
+
+    assert jax.device_count() >= 8, jax.devices()
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ('data',))
+
+    cfg = tiny_pointpillar_cfg(num_class=1)
+    cfg.DATA_CONFIG.SYNTHETIC.NUM_SAMPLES = 8
+    ds = SyntheticDataset(cfg, training=True)
+    model = PointPillar(cfg, ds.grid_size)
+    ds.set_anchor_targets(model.anchor_targets)
+    batch_np = collate_batch([ds[i] for i in range(8)])
+
+    dp = NamedSharding(mesh, P('data'))
+    repl = NamedSharding(mesh, P())
+    batch = {k: jax.device_put(jnp.asarray(v), dp)
+             for k, v in batch_np.items()
+             if isinstance(v, np.ndarray) and k != 'sample_idx'}
+    variables = model.init_variables(jax.random.PRNGKey(0),
+                                     {k: v[:2] for k, v in batch.items()})
+    tx, _ = build_optimizer_and_schedule(cfg.MODEL.TRAIN.OPTIMIZATION, 10, 2)
+    state = jax.device_put(create_train_state(variables, tx), repl)
+
+    step = make_train_step(model, tx, donate=False)
+    new_state, tb = step(state, batch)
+    loss = float(jax.device_get(tb['loss']))
+    assert np.isfinite(loss)
+    # params remain replicated (all-reduce happened)
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+    # gradients actually changed the params
+    old_leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert np.abs(np.asarray(leaf) - np.asarray(old_leaf)).max() > 0
