@@ -214,3 +214,12 @@ class UNetV2(nn.Module):
             'seg_features': seg_features,
             'seg_level': x_up1,
         }
+
+
+# UNetV0 (reference rpn_unet.py:146-336) is registered for config parity but
+# is architecturally UNetV2: layer-for-layer identical encoders/decoders, and
+# V0's conv_out declares 128 input channels against conv4's 64 outputs —
+# research debris that cannot run.  V0's one live difference (the corrected
+# 'dataset'-mode target read, rpn_unet.py:326-333 vs the V2 NameError at
+# :519-524) is already the behaviour implemented here (SURVEY.md §8).
+UNetV0 = UNetV2

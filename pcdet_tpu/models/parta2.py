@@ -15,7 +15,7 @@ import numpy as np
 from ..ops import sparse
 from ..ops.roiaware_pool import roiaware_pool3d
 from .anchors import AnchorHeadTargets
-from .backbones3d import UNetV2
+from .backbones3d import UNetV0, UNetV2
 from .detector3d import post_process_batch
 from .rpn_head import RPNV2, anchor_head_loss
 from .roi_heads import (FCRCNNModule, SpConvRCNNModule, decode_rcnn_boxes,
@@ -26,7 +26,8 @@ from ..utils.box_coder import ResidualCoder
 
 
 class PartA2Module(nn.Module):
-    """Stage-1 flax module: MeanVFE -> UNetV2 -> RPNV2."""
+    """Stage-1 flax module: MeanVFE -> UNet (V2/V0) -> RPNV2."""
+    backbone_name: str
     num_class: int
     num_anchors_per_location: int
     sparse_shape: Tuple[int, int, int]
@@ -39,9 +40,10 @@ class PartA2Module(nn.Module):
                                     train)
         level = sparse.from_voxelizer(feats, coords, voxel_mask,
                                       self.sparse_shape)
-        bev, unet_ret = UNetV2(sparse_shape=self.sparse_shape,
-                               last_pad=self.last_pad,
-                               name='unet')(level, train)
+        unet_cls = {'UNetV2': UNetV2, 'UNetV0': UNetV0}[self.backbone_name]
+        bev, unet_ret = unet_cls(sparse_shape=self.sparse_shape,
+                                 last_pad=self.last_pad,
+                                 name='unet')(level, train)
         a = self.rpn_args
         ret = RPNV2(
             num_class=self.num_class,
@@ -123,6 +125,7 @@ class PartA2Net:
             cfg.MODEL.RPN.BACKBONE.get('SEG_MASK_SCORE_THRESH', 0.3))
 
         self.module = PartA2Module(
+            backbone_name=str(cfg.MODEL.RPN.BACKBONE.get('NAME', 'UNetV2')),
             num_class=self.num_class,
             num_anchors_per_location=self.anchor_targets.num_anchors_per_location,
             sparse_shape=self.sparse_shape,

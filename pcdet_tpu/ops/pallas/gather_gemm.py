@@ -45,13 +45,18 @@ def _kernel(rules_ref, feats_ref, w_ref, out_ref, g_scratch):
     out_ref[:] = acc
 
 
-@jax.jit
+@jax.custom_vjp
 def gather_matmul(features, rules, weights):
     """:param features: (V+1, Cin) f32, last row zeros
     :param rules: (V, K) int32 row indices in [0, V]
     :param weights: (K, Cin, Cout) f32
     :return: (V, Cout) f32
     """
+    return _gather_matmul_fwd_only(features, rules, weights)
+
+
+@jax.jit
+def _gather_matmul_fwd_only(features, rules, weights):
     v, k = rules.shape
     cin = features.shape[1]
     cout = weights.shape[2]
@@ -78,3 +83,32 @@ def gather_matmul(features, rules, weights):
             vmem_limit_bytes=100 * 1024 * 1024),
     )(rules, features, weights)
     return out[:v]
+
+
+def _gather_matmul_vjp_fwd(features, rules, weights):
+    return _gather_matmul_fwd_only(features, rules, weights), (
+        features, rules, weights)
+
+
+def _gather_matmul_vjp_bwd(res, g):
+    """out[v] = sum_k feats[rules[v,k]] @ W[k], rules constant:
+    dW[k] = feats[rules[:,k]]^T @ g;  dfeats[rules[v,k]] += g[v] @ W[k]^T.
+
+    The backward runs as XLA gathers/scatter-add (the scatter-add has no
+    Pallas equivalent yet; misses were routed to the zero padding row, whose
+    gradient is discarded by the caller's concatenate VJP).
+    """
+    features, rules, weights = res
+    v, k = rules.shape
+    cin = features.shape[1]
+    gathered = features[rules.reshape(-1)].reshape(v, k, cin)
+    dw = jnp.einsum('vki,vo->kio', gathered, g,
+                    preferred_element_type=jnp.float32)
+    contrib = jnp.einsum('vo,kio->vki', g, weights,
+                         preferred_element_type=jnp.float32)
+    df = jnp.zeros_like(features).at[rules.reshape(-1)].add(
+        contrib.reshape(v * k, cin))
+    return df, None, dw
+
+
+gather_matmul.defvjp(_gather_matmul_vjp_fwd, _gather_matmul_vjp_bwd)

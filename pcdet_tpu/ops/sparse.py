@@ -124,18 +124,178 @@ def _lookup(ids_sorted, query_ids, query_valid):
     return idx_c, found
 
 
-def _gather_gemm(level: SparseLevel, out_coords, out_mask, weights,
-                 in_pos_fn, kernel):
-    """Shared conv core: for each output site and kernel tap, gather the
-    input feature (or zero) and contract with the flattened weights.
+def _merge_pos_right(ids_sorted, query_ids):
+    """#{table elements <= q} per query via ONE stable argsort of
+    [table, queries] (stable tie-break puts table entries before equal
+    queries, so the rank difference is exactly pos_right)."""
+    v = ids_sorted.shape[0]
+    m = query_ids.shape[0]
+    comb = jnp.concatenate([ids_sorted, query_ids])
+    order = jnp.argsort(comb, stable=True)
+    is_q = order >= v
+    q_rank = jnp.cumsum(is_q.astype(jnp.int32)) - 1
+    t_count = jnp.arange(v + m, dtype=jnp.int32) - q_rank
+    return jnp.zeros(m, jnp.int32).at[
+        jnp.where(is_q, order - v, m)].set(t_count, mode='drop')
 
-    :param weights: (K, Cin, Cout)
+
+def _merge_lookup_ext(ids_sorted, query_ids):
+    """For every query q, compute pos_right = #{table <= q} and presence
+    bits for q, q+1 and q-1 — with NO per-element gathers (TPU's gather is
+    the slow path the rest of this module avoids).
+
+    One stable multi-operand ``lax.sort`` of [table, queries] carries the
+    origin index and each table entry's predecessor value into sorted
+    order; ascending cumulative max/min scans then give, at every query's
+    position, the last table value <= q (presence of q and, via the carried
+    predecessor, of q-1) and the first table value > q (presence of q+1).
+    Everything returns through ONE packed scatter.
+
+    :return: (m,) int32, packed as pos_right*8 + [q]*4 + [q+1]*2 + [q-1]
+    """
+    v = ids_sorted.shape[0]
+    m = query_ids.shape[0]
+    int_min = jnp.iinfo(jnp.int32).min
+    comb = jnp.concatenate([ids_sorted, query_ids])
+    origin = jnp.arange(v + m, dtype=jnp.int32)
+    prevs = jnp.concatenate([
+        jnp.full((1,), int_min, jnp.int32), ids_sorted[:-1],
+        jnp.full((m,), int_min, jnp.int32)])
+    keys, origin_s, prevs_s = jax.lax.sort((comb, origin, prevs),
+                                           is_stable=True, num_keys=1)
+    is_table = origin_s < v
+    pos_right = jnp.cumsum(is_table.astype(jnp.int32))
+    w = jax.lax.cummax(jnp.where(is_table, keys, int_min), axis=0)
+    w_prev = jax.lax.cummax(jnp.where(is_table, prevs_s, int_min), axis=0)
+    v_next = jax.lax.cummin(jnp.where(is_table, keys, INT_MAX), axis=0,
+                            reverse=True)
+    f0 = w == keys
+    fp1 = v_next == keys + 1
+    fm1 = (w == keys - 1) | (f0 & (w_prev == keys - 1))
+    packed = (pos_right * 8 + f0.astype(jnp.int32) * 4
+              + fp1.astype(jnp.int32) * 2 + fm1.astype(jnp.int32))
+    return jnp.zeros(m, jnp.int32).at[
+        jnp.where(~is_table, origin_s - v, m)].set(packed, mode='drop')
+
+
+def _rules_affine(level, out_coords, out_mask, base_coords, kernel,
+                  coord_off):
+    """Rulebook for convs whose tap-t input site is
+    ``base_coords + offs[t] + coord_off`` (subm: base=out, off=-pad;
+    strided: base=out*stride, off=-padding).
+
+    Exploits two structural facts of the sorted-id layout:
+      (a) every tap's query ids are ``linearize(base + coord_off) + c_t``
+          with c_t a compile-time constant, so all taps share one base-id
+          vector and the lookup needs NO per-tap coordinate materialisation;
+      (b) taps that differ only in the x-offset differ by exactly +-1 in
+          linear id, and the table ids are unique — so #{t < q+1} =
+          #{t < q} + [q in table].  Only the middle-x tap of each (z, y)
+          tap group is merge-looked-up; its x-neighbours follow from that
+          unit-stride position recurrence (one (V,) int gather each).
+
+    This cuts the merged sort from (1+K)V to (1+K/kw)V elements and replaces
+    2/3 of the lookup work with elementwise ops.
+
+    :return: rows (V, K) int32 clamped to [0, V-1], found (V, K) bool —
+             tap order matches ``_kernel_offsets`` (z-major, x fastest).
+    """
+    offs = _kernel_offsets(kernel)                        # (K, 3) static
+    kw = kernel[2]
+    mid = kw // 2
+    v = out_coords.shape[0]
+    d, h, w = level.shape
+    shape_arr = jnp.asarray(level.shape, jnp.int32)
+    coord_off = jnp.asarray(coord_off, jnp.int32)
+
+    base = base_coords + coord_off                        # (V, 3)
+    base_id = linearize(base, level.shape)                # raw, may be OOB
+
+    n_groups = offs.shape[0] // kw
+    # one merged lookup for all group-mid taps
+    mid_consts = [int((offs[g * kw + mid][0] * h + offs[g * kw + mid][1]) * w
+                      + offs[g * kw + mid][2]) for g in range(n_groups)]
+    queries = jnp.concatenate([base_id + c for c in mid_consts])
+
+    rows_by_tap = {}
+    found_by_tap = {}
+    if kw in (1, 3):
+        # scan-based presence bits for q-1/q/q+1: no per-element gathers
+        packed = _merge_lookup_ext(level.ids, queries).reshape(n_groups, v)
+        for g in range(n_groups):
+            pk = packed[g]
+            pr = pk >> 3
+            f0 = (pk >> 2) & 1 > 0
+            fp1 = (pk >> 1) & 1 > 0
+            fm1 = pk & 1 > 0
+            pos_l = pr - f0.astype(jnp.int32)             # #{t < q}
+            rows_by_tap[g * kw + mid] = jnp.clip(pr - 1, 0, v - 1)
+            found_by_tap[g * kw + mid] = f0
+            if kw == 3:
+                rows_by_tap[g * kw + mid + 1] = jnp.clip(
+                    pos_l + f0.astype(jnp.int32), 0, v - 1)
+                found_by_tap[g * kw + mid + 1] = fp1
+                rows_by_tap[g * kw + mid - 1] = jnp.clip(pos_l - 1, 0, v - 1)
+                found_by_tap[g * kw + mid - 1] = fm1
+    else:
+        pos_right = _merge_pos_right(level.ids, queries).reshape(n_groups, v)
+        for g in range(n_groups):
+            q_mid = base_id + mid_consts[g]
+            pr = pos_right[g]
+            row = jnp.clip(pr - 1, 0, v - 1)
+            f_raw = (pr > 0) & (level.ids[row] == q_mid)
+            rows_by_tap[g * kw + mid] = row
+            found_by_tap[g * kw + mid] = f_raw
+            # walk +x: L(q+1) = L(q) + [q in table]
+            pos_l = pr - f_raw.astype(jnp.int32)          # #{t < q}
+            f_prev, q = f_raw, q_mid
+            for dx in range(mid + 1, kw):
+                pos_l = pos_l + f_prev.astype(jnp.int32)
+                q = q + 1
+                row = jnp.clip(pos_l, 0, v - 1)
+                f_prev = (pos_l < v) & (level.ids[row] == q)
+                rows_by_tap[g * kw + dx] = row
+                found_by_tap[g * kw + dx] = f_prev
+            # walk -x: index of the largest element < q, then step down
+            r = (pr - f_raw.astype(jnp.int32)) - 1        # pos_left - 1
+            q = q_mid
+            for dx in range(mid - 1, -1, -1):
+                q = q - 1
+                row = jnp.clip(r, 0, v - 1)
+                f_here = (r >= 0) & (level.ids[row] == q)
+                rows_by_tap[g * kw + dx] = row
+                found_by_tap[g * kw + dx] = f_here
+                r = r - f_here.astype(jnp.int32)
+
+    # per-dim bounds masks, computed once per distinct offset value
+    dim_ok = []
+    for d in range(3):
+        cache = {}
+        for o in sorted({int(t[d]) for t in offs}):
+            c = base[:, d] + o
+            cache[o] = (c >= 0) & (c < shape_arr[d])
+        dim_ok.append(cache)
+
+    rows, found = [], []
+    for t in range(offs.shape[0]):
+        inb = (dim_ok[0][int(offs[t][0])] & dim_ok[1][int(offs[t][1])]
+               & dim_ok[2][int(offs[t][2])])
+        rows.append(rows_by_tap[t])
+        found.append(found_by_tap[t] & inb & out_mask)
+    return jnp.stack(rows, axis=1), jnp.stack(found, axis=1)
+
+
+def _rules_generic(level: SparseLevel, out_coords, out_mask, in_pos_fn,
+                   kernel):
+    """Rulebook for arbitrary tap geometry (used by inverse conv, whose
+    floor-division tap map is not a constant id shift).
+
     :param in_pos_fn: (out_coords (V,3), tap (3,)) -> (in_coords, extra_valid)
+    :return: rows (V, K) int32 clamped, found (V, K) bool
     """
     offs = _kernel_offsets(kernel)                        # (K, 3) static
     k = offs.shape[0]
     v = out_coords.shape[0]
-    cin = level.features.shape[-1]
 
     in_coords = []
     valids = []
@@ -151,20 +311,27 @@ def _gather_gemm(level: SparseLevel, out_coords, out_mask, weights,
     q_ids = linearize(in_coords, level.shape)
     q_ids = jnp.where(valid, q_ids, INT_MAX - 1).astype(jnp.int32)
     rows, found = _lookup(level.ids, q_ids.reshape(-1), valid.reshape(-1))
+    return rows.reshape(v, k), found.reshape(v, k)
 
+
+def _apply_rules(level: SparseLevel, out_mask, rows, found, weights):
+    """Gather neighbour features by the rulebook and contract with the
+    flattened weights: out = feats[rules].reshape(V, K*Cin) @ W."""
+    v, k = rows.shape
+    cin = level.features.shape[-1]
     if jax.default_backend() != 'cpu':
         # Pallas rulebook gather+GEMM: XLA's row-gather slow path costs
         # ~240 ms/layer at V=16k (PERF_NOTES.md); the kernel is ~8x faster.
         from .pallas.gather_gemm import gather_matmul
         n_in = level.features.shape[0]
-        rules = jnp.where(found, rows, n_in).reshape(v, k)
+        rules = jnp.where(found, rows, n_in)
         feats_padded = jnp.concatenate(
             [level.features, jnp.zeros((1, cin), level.features.dtype)],
             axis=0)
         out = gather_matmul(feats_padded, rules, weights)
     else:
-        gathered = level.features[rows]                   # (V*K, Cin)
-        gathered = jnp.where(found[:, None], gathered, 0.0)
+        gathered = level.features[rows.reshape(-1)]       # (V*K, Cin)
+        gathered = jnp.where(found.reshape(-1)[:, None], gathered, 0.0)
         gathered = gathered.reshape(v, k * cin)
         w = weights.reshape(k * cin, -1)
         out = jnp.dot(gathered, w, preferred_element_type=jnp.float32)
@@ -174,26 +341,18 @@ def _gather_gemm(level: SparseLevel, out_coords, out_mask, weights,
 def subm_conv3d(level: SparseLevel, weights, kernel=3):
     """Submanifold conv: output sites == input sites (spconv SubMConv3d)."""
     kernel = _triple(kernel)
-    pad = tuple(kk // 2 for kk in kernel)
-
-    def in_pos(out_coords, tap):
-        off = tap - jnp.asarray(pad, jnp.int32)
-        return out_coords + off, jnp.ones(out_coords.shape[0], bool)
-
-    feats = _gather_gemm(level, level.coords, level.mask, weights, in_pos,
-                         kernel)
+    pad = tuple(-(kk // 2) for kk in kernel)
+    rows, found = _rules_affine(level, level.coords, level.mask,
+                                level.coords, kernel, pad)
+    feats = _apply_rules(level, level.mask, rows, found, weights)
     return level._replace(features=feats)
 
 
-def sparse_conv3d(level: SparseLevel, weights, kernel=3, stride=2, padding=1,
-                  out_cap=None):
-    """Strided sparse conv (spconv SparseConv3d): output active set = every
-    output position whose receptive field touches an active input."""
-    kernel = _triple(kernel)
-    stride = _triple(stride)
-    padding = _triple(padding)
+def _strided_out_set(level: SparseLevel, kernel, stride, padding, out_cap):
+    """Active output set of a strided conv/pool: every output position whose
+    receptive field touches an active input — sort + run-length unique of
+    each input's <= prod(ceil(k/s)) candidate outputs."""
     v = level.coords.shape[0]
-    out_cap = out_cap or v
     out_shape = tuple((level.shape[i] + 2 * padding[i] - kernel[i])
                       // stride[i] + 1 for i in range(3))
 
@@ -238,13 +397,25 @@ def sparse_conv3d(level: SparseLevel, weights, kernel=3, stride=2, padding=1,
     out_mask = out_ids < INT_MAX
     out_coords = jnp.where(out_mask[:, None],
                            delinearize(out_ids, out_shape), -1).astype(jnp.int32)
+    return out_ids, out_coords, out_mask, out_shape
 
-    def in_pos(out_coords_, tap):
-        base = (out_coords_ * jnp.asarray(stride, jnp.int32)
-                - jnp.asarray(padding, jnp.int32))
-        return base + tap, jnp.ones(out_coords_.shape[0], bool)
 
-    feats = _gather_gemm(level, out_coords, out_mask, weights, in_pos, kernel)
+def sparse_conv3d(level: SparseLevel, weights, kernel=3, stride=2, padding=1,
+                  out_cap=None):
+    """Strided sparse conv (spconv SparseConv3d): output active set = every
+    output position whose receptive field touches an active input."""
+    kernel = _triple(kernel)
+    stride = _triple(stride)
+    padding = _triple(padding)
+    out_cap = out_cap or level.coords.shape[0]
+    out_ids, out_coords, out_mask, out_shape = _strided_out_set(
+        level, kernel, stride, padding, out_cap)
+
+    rows, found = _rules_affine(
+        level, out_coords, out_mask,
+        out_coords * jnp.asarray(stride, jnp.int32), kernel,
+        tuple(-p for p in padding))
+    feats = _apply_rules(level, out_mask, rows, found, weights)
     return SparseLevel(features=feats, ids=out_ids, coords=out_coords,
                        mask=out_mask, shape=out_shape)
 
@@ -270,8 +441,9 @@ def inverse_conv3d(level: SparseLevel, target: SparseLevel, weights,
         ok = (num % s == 0).all(-1) & (num >= 0).all(-1)
         return num // s, ok
 
-    feats = _gather_gemm(level, target.coords, target.mask, weights, in_pos,
-                         kernel)
+    rows, found = _rules_generic(level, target.coords, target.mask, in_pos,
+                                 kernel)
+    feats = _apply_rules(level, target.mask, rows, found, weights)
     return SparseLevel(features=feats, ids=target.ids, coords=target.coords,
                        mask=target.mask, shape=target.shape)
 
@@ -283,31 +455,23 @@ def sparse_maxpool3d(level: SparseLevel, kernel=3, stride=2, padding=1,
     kernel = _triple(kernel)
     stride = _triple(stride)
     padding = _triple(padding)
-    # reuse sparse_conv3d's active-set construction via identity weights on a
-    # dummy channel, then do the max by gathering per-tap
-    dummy = sparse_conv3d(
-        level._replace(features=jnp.zeros_like(level.features[:, :1])),
-        jnp.zeros((int(np.prod(kernel)), 1, 1)), kernel, stride, padding,
-        out_cap)
-    out_coords, out_mask = dummy.coords, dummy.mask
+    out_cap = out_cap or level.coords.shape[0]
+    out_ids, out_coords, out_mask, out_shape = _strided_out_set(
+        level, kernel, stride, padding, out_cap)
 
-    offs = _kernel_offsets(kernel)
+    rows, found = _rules_affine(
+        level, out_coords, out_mask,
+        out_coords * jnp.asarray(stride, jnp.int32), kernel,
+        tuple(-p for p in padding))
     neg = jnp.finfo(level.features.dtype).min
     acc = jnp.full((out_coords.shape[0], level.features.shape[-1]), neg,
                    level.features.dtype)
-    for t in range(offs.shape[0]):
-        c_in = (out_coords * jnp.asarray(stride, jnp.int32)
-                - jnp.asarray(padding, jnp.int32) + offs[t])
-        inb = ((c_in >= 0).all(-1)
-               & (c_in < jnp.asarray(level.shape, jnp.int32)).all(-1))
-        q = jnp.where(inb & out_mask, linearize(c_in, level.shape),
-                      INT_MAX - 1).astype(jnp.int32)
-        rows, found = _lookup(level.ids, q, inb & out_mask)
-        vals = jnp.where(found[:, None], level.features[rows], neg)
+    for t in range(rows.shape[1]):
+        vals = jnp.where(found[:, t:t + 1], level.features[rows[:, t]], neg)
         acc = jnp.maximum(acc, vals)
     feats = jnp.where(out_mask[:, None] & (acc > neg / 2), acc, 0.0)
-    return SparseLevel(features=feats, ids=dummy.ids, coords=out_coords,
-                       mask=out_mask, shape=dummy.shape)
+    return SparseLevel(features=feats, ids=out_ids, coords=out_coords,
+                       mask=out_mask, shape=out_shape)
 
 
 # ---------------------------------------------------------------------------
