@@ -86,6 +86,15 @@ def noise_per_box(boxes, valid_mask, loc_noises, rot_noises):
     :param boxes: (N, 5)[x, y, dx, dy, rot]
     :return: (N,) selected try index or -1
     """
+    from ... import native
+    sel = native.noise_per_box(boxes, valid_mask, loc_noises, rot_noises)
+    if sel is not None:
+        return sel
+    return _noise_per_box_numpy(boxes, valid_mask, loc_noises, rot_noises)
+
+
+def _noise_per_box_numpy(boxes, valid_mask, loc_noises, rot_noises):
+    """Pure-numpy twin of the native kernel (fallback + test oracle)."""
     num_boxes = boxes.shape[0]
     num_tests = loc_noises.shape[1]
     box_corners = box2d_to_corners(boxes)

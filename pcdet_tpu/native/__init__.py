@@ -14,7 +14,8 @@ import numpy as np
 
 _THIS_DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_THIS_DIR, 'kitti_eval_native.cpp'),
-         os.path.join(_THIS_DIR, 'voxelizer_native.cpp')]
+         os.path.join(_THIS_DIR, 'voxelizer_native.cpp'),
+         os.path.join(_THIS_DIR, 'augmentation_native.cpp')]
 _LIB = None
 _BUILD_FAILED = False
 
@@ -81,8 +82,39 @@ def get_lib():
         c_long_p, ctypes.c_int, ctypes.c_long, c_float_p, c_int_p, c_int_p,
         c_long_p]
     lib.voxelize.restype = ctypes.c_long
+    c_uint8_p = ctypes.POINTER(ctypes.c_uint8)
+    lib.noise_per_box_native.argtypes = [
+        c_float_p, c_uint8_p, c_float_p, c_float_p, ctypes.c_long,
+        ctypes.c_long, c_long_p]
+    lib.points_in_rbboxes_native.argtypes = [
+        c_float_p, ctypes.c_long, ctypes.c_long, c_float_p, ctypes.c_long,
+        c_uint8_p]
     _LIB = lib
     return _LIB
+
+
+def noise_per_box(boxes, valid_mask, loc_noises, rot_noises):
+    """Native first-success per-object noise search; None if unavailable.
+
+    :param boxes: (N, 5) [x, y, dx, dy, rot]
+    :return: (N,) int64 selected try index (or -1)
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    boxes = np.ascontiguousarray(boxes, dtype=np.float32)
+    valid = np.ascontiguousarray(valid_mask, dtype=np.uint8)
+    loc = np.ascontiguousarray(loc_noises, dtype=np.float32)
+    rot = np.ascontiguousarray(rot_noises, dtype=np.float32)
+    n, t = rot.shape
+    selected = np.empty((n,), dtype=np.int64)
+    lib.noise_per_box_native(
+        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        loc.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rot.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, t, selected.ctypes.data_as(ctypes.POINTER(ctypes.c_long)))
+    return selected
 
 
 def voxelize(points, voxel_size, pc_range_min, grid_size, max_pts,
@@ -349,3 +381,25 @@ def _fused_py(overlaps, pr, gt_nums, dt_nums, dc_nums, gt_datas, dt_datas,
         gt_num += gt_nums[i]
         dt_num += dt_nums[i]
         dc_num += dc_nums[i]
+
+
+def points_in_rbboxes(points, boxes):
+    """Native (N, P) point-in-rotated-box mask; None if unavailable.
+
+    :param points: (P, C) float32, xyz first
+    :param boxes: (N, 7) [x, y, z, w, l, h, rz], z = bottom center
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    points = np.ascontiguousarray(points, dtype=np.float32)
+    boxes = np.ascontiguousarray(boxes, dtype=np.float32).reshape(-1, 7)
+    p = points.shape[0]
+    n = boxes.shape[0]
+    mask = np.empty((n, p), dtype=np.uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.points_in_rbboxes_native(
+        points.ctypes.data_as(f32p), p, points.shape[1],
+        boxes.ctypes.data_as(f32p), n,
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return mask.astype(bool)

@@ -92,21 +92,25 @@ def _kernel_offsets(kernel):
 
 
 def _lookup_merge(ids_sorted, query_ids, query_valid):
-    """Sorted-merge id lookup: one stable argsort of [table, queries] plus a
-    rank subtraction replaces searchsorted's ~15 gather rounds (3.4x faster
-    on TPU, PERF_NOTES.md).  side='right' positions via stable tie-breaking
-    (table elements precede equal queries in the concatenation)."""
+    """Sorted-merge id lookup: one stable multi-operand sort of
+    [table, queries] (table precedes equal queries), with both the rank and
+    the presence bit computed IN sorted order — presence via a cumulative
+    max of table values (ascending keys make the running max exactly the
+    last table value <= q), so no per-element verification gather."""
     v = ids_sorted.shape[0]
     m = query_ids.shape[0]
+    int_min = jnp.iinfo(jnp.int32).min
     comb = jnp.concatenate([ids_sorted, query_ids])
-    order = jnp.argsort(comb, stable=True)
-    is_q = order >= v
-    q_rank = jnp.cumsum(is_q.astype(jnp.int32)) - 1
-    t_count = jnp.arange(v + m, dtype=jnp.int32) - q_rank
-    pos_right = jnp.zeros(m, jnp.int32).at[
-        jnp.where(is_q, order - v, m)].set(t_count, mode='drop')
-    row = jnp.clip(pos_right - 1, 0, v - 1)
-    found = (pos_right > 0) & (ids_sorted[row] == query_ids) & query_valid
+    origin = jnp.arange(v + m, dtype=jnp.int32)
+    keys, origin_s = jax.lax.sort((comb, origin), is_stable=True, num_keys=1)
+    is_table = origin_s < v
+    pos_right = jnp.cumsum(is_table.astype(jnp.int32))
+    w = jax.lax.cummax(jnp.where(is_table, keys, int_min), axis=0)
+    packed = pos_right * 2 + (w == keys).astype(jnp.int32)
+    pk = jnp.zeros(m, jnp.int32).at[
+        jnp.where(~is_table, origin_s - v, m)].set(packed, mode='drop')
+    row = jnp.clip((pk >> 1) - 1, 0, v - 1)
+    found = (pk & 1 > 0) & query_valid
     return row, found
 
 

@@ -143,10 +143,15 @@ def points_in_boxes_mask(points, boxes3d):
     (pcdet/ops/roiaware_pool3d): transform points into each box's canonical
     frame and compare against half extents.
     """
-    points = np.asarray(points)[:, :3].astype(np.float32)
+    points = np.asarray(points)
     boxes3d = np.asarray(boxes3d, dtype=np.float32).reshape(-1, 7)
     if boxes3d.shape[0] == 0 or points.shape[0] == 0:
         return np.zeros((boxes3d.shape[0], points.shape[0]), dtype=bool)
+    from .. import native
+    mask = native.points_in_rbboxes(points, boxes3d)
+    if mask is not None:
+        return mask
+    points = points[:, :3].astype(np.float32)
     shift = points[None, :, :] - boxes3d[:, None, 0:3]          # (N, P, 3)
     cosa = np.cos(-boxes3d[:, 6])[:, None]
     sina = np.sin(-boxes3d[:, 6])[:, None]
