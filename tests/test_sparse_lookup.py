@@ -28,3 +28,27 @@ def test_lookup_merge_matches_searchsorted():
     found_b = (ids[idx_c] == q) & valid & (idx < v)
     np.testing.assert_array_equal(np.asarray(found_a), found_b)
     np.testing.assert_array_equal(np.asarray(row_a)[found_b], idx_c[found_b])
+
+
+def test_merge_lookup_ext_bits():
+    """Packed pos_right + presence bits for q-1/q/q+1 match brute force,
+    including negative raw queries and INT_MAX table padding."""
+    import jax.numpy as jnp
+    from pcdet_tpu.ops import sparse
+
+    rng = np.random.RandomState(1)
+    for trial in range(4):
+        v_real = rng.randint(3, 200)
+        ids = np.sort(rng.choice(5000, v_real, replace=False)).astype(np.int32)
+        ids = np.concatenate([ids, np.full(17, sparse.INT_MAX, np.int32)])
+        q = rng.randint(-100, 5100, size=400).astype(np.int32)
+        packed = np.asarray(sparse._merge_lookup_ext(
+            jnp.asarray(ids), jnp.asarray(q)))
+        table = set(ids[:v_real].tolist())
+        for j, qq in enumerate(q.tolist()):
+            pos_right = int((ids[:v_real] <= qq).sum())
+            f0 = qq in table
+            fp1 = (qq + 1) in table
+            fm1 = (qq - 1) in table
+            expect = pos_right * 8 + f0 * 4 + fp1 * 2 + fm1
+            assert packed[j] == expect, (trial, j, qq)
