@@ -139,6 +139,19 @@ class DatasetTemplate:
 
         example = {'sample_idx': sample_idx}
 
+        # fork capability: ship the raw (fixed-shape) point cloud so the
+        # jitted step can re-voxelize differentiably (experiments.
+        # between_dataloading_and_feedforward; reference experiments.py:32-282)
+        if cfg.get('TORCH_VOXEL_GENERATOR', False):
+            max_pts = int(data_cfg.get('MAX_POINTS', 65536))
+            n = min(len(points), max_pts)
+            pts_fixed = np.zeros((max_pts, points.shape[1]), np.float32)
+            pts_fixed[:n] = points[:n]
+            pt_mask = np.zeros(max_pts, dtype=bool)
+            pt_mask[:n] = True
+            example['points'] = pts_fixed
+            example['point_mask'] = pt_mask
+
         # ---- voxelize to fixed shape
         vg = self.voxel_generator
         out = vg.generate(points, pad_to_max=True)

@@ -34,12 +34,19 @@ from .ops.voxelizer import voxelize_jnp
 from .utils.metrics import Evaluator
 
 
-def between_dataloading_and_feedforward(batch, cfg, point_feature_fn=None):
+def between_dataloading_and_feedforward(batch, cfg, point_feature_fn=None,
+                                        train=None):
     """Differentiable on-device (re-)voxelization hook.
+
+    Called inside the jitted train/eval steps (train/train_state.py) exactly
+    where the reference calls it on the host (reference
+    tools/train_utils/train_utils.py:23,46, tools/eval_utils/eval_utils.py:51).
 
     :param batch: device batch with 'points' (B, P, C) + 'point_mask' (B, P)
     :param point_feature_fn: optional fn(points (B, P, C)) -> (B, P, C') that
         paints/augments point features differentiably (semantic injection)
+    :param train: TRAIN vs TEST voxel caps; None falls back to the batch's
+        'is_training' entry (legacy call sites), then True.
     :return: batch updated with fixed-shape voxel arrays (same keys the host
         voxelizer produces), fully differentiable w.r.t. point features.
     """
@@ -51,7 +58,9 @@ def between_dataloading_and_feedforward(batch, cfg, point_feature_fn=None):
         points = point_feature_fn(points)
 
     data_cfg = cfg.DATA_CONFIG
-    mode = 'TRAIN' if batch.get('is_training', True) else 'TEST'
+    if train is None:
+        train = batch.get('is_training', True)
+    mode = 'TRAIN' if train else 'TEST'
     vox = jax.vmap(lambda p, m: voxelize_jnp(
         p, m,
         tuple(data_cfg.VOXEL_GENERATOR.VOXEL_SIZE),

@@ -35,8 +35,17 @@ def make_train_step(model, tx, donate=True):
     import inspect
     wants_rng = 'rng' in inspect.signature(model.forward).parameters
     base_key = jax.random.PRNGKey(20260816)
+    # fork capability layer: differentiable re-voxelization between the
+    # dataloader and the feedforward (reference train_utils.py:23,46), and
+    # the MODE-gated BEV-seg loss path (reference pointpillar.py:151-160) —
+    # both INSIDE the jitted step.
+    from ..experiments import between_dataloading_and_feedforward
+    loss_of = getattr(model, 'loss_with_bev', model.loss)
 
     def train_step(state: TrainState, batch):
+        batch = between_dataloading_and_feedforward(batch, model.cfg,
+                                                    train=True)
+
         def loss_fn(params):
             variables = {'params': params, 'batch_stats': state.batch_stats}
             if wants_rng:
@@ -45,7 +54,7 @@ def make_train_step(model, tx, donate=True):
                                                rng=rng)
             else:
                 ret, new_stats = model.forward(variables, batch, train=True)
-            loss, tb = model.loss(ret, batch)
+            loss, tb = loss_of(ret, batch)
             return loss, (new_stats, tb)
 
         (loss, (new_stats, tb)), grads = jax.value_and_grad(
@@ -65,7 +74,11 @@ def make_train_step(model, tx, donate=True):
 
 def make_eval_forward(model):
     """Jitted eval forward: logits -> decoded + NMS'd fixed-shape preds."""
+    from ..experiments import between_dataloading_and_feedforward
+
     def eval_forward(params, batch_stats, batch):
+        batch = between_dataloading_and_feedforward(batch, model.cfg,
+                                                    train=False)
         ret, _ = model.forward({'params': params, 'batch_stats': batch_stats},
                                batch, train=False)
         return model.predict(ret)

@@ -1,0 +1,182 @@
+"""The fork's experiment hooks must be WIRED into the hot loops, not just
+exist as library functions (round-1 verdict gap #2).
+
+Reference call sites being mirrored:
+  - exp.between_dataloading_and_feedforward inside the train AND eval loops
+    (reference tools/train_utils/train_utils.py:23,46,
+     tools/eval_utils/eval_utils.py:51,62) -> here inside the jitted step
+    (pcdet_tpu/train/train_state.py).
+  - the MODE-gated BEV-seg loss path inside PointPillar.forward
+    (reference pcdet/models/detectors/pointpillar.py:151-160)
+    -> model.loss_with_bev routed by make_train_step.
+"""
+import glob
+import shutil
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tiny_config import tiny_pointpillar_cfg
+
+
+def _collated_batch(cfg, n=2):
+    import jax
+    from pcdet_tpu.datasets.synthetic import SyntheticDataset
+    from pcdet_tpu.datasets.dataset import collate_batch
+    ds = SyntheticDataset(cfg, training=True)
+    from pcdet_tpu.models.pointpillar import PointPillar
+    model = PointPillar(cfg, ds.grid_size)
+    ds.set_anchor_targets(model.anchor_targets)
+    example = collate_batch([ds[i] for i in range(n)])
+    dev = {k: jax.numpy.asarray(v) for k, v in example.items()
+           if isinstance(v, np.ndarray) and v.dtype != object}
+    return model, dev
+
+
+def test_gradients_reach_point_features_through_train_path():
+    """cfg.USE_PSEUDOLIDAR -> the jitted loss is differentiable w.r.t. the
+    raw point cloud (the fork's defining capability: gradients flow from
+    detection loss back into upstream point-producing networks)."""
+    import jax
+    from pcdet_tpu.config import cfg_preprocess
+    from pcdet_tpu.experiments import between_dataloading_and_feedforward
+
+    cfg = tiny_pointpillar_cfg(num_class=1)
+    cfg.USE_PSEUDOLIDAR = True
+    cfg_preprocess(cfg)
+    assert cfg.TORCH_VOXEL_GENERATOR
+    model, batch = _collated_batch(cfg)
+    assert 'points' in batch and 'point_mask' in batch
+
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+
+    def loss_of_points(points):
+        b = dict(batch)
+        b['points'] = points
+        b = between_dataloading_and_feedforward(b, cfg, train=True)
+        ret, _ = model.forward(variables, b, train=True)
+        loss, _ = model.loss(ret, b)
+        return loss
+
+    g = jax.jit(jax.grad(loss_of_points))(batch['points'])
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0, 'no gradient reached the point features'
+
+
+def test_train_step_runs_revoxelization_hook():
+    """make_train_step must call the hook (same place the reference does)."""
+    import jax
+    from pcdet_tpu.config import cfg_preprocess
+    from pcdet_tpu.train.optimization import build_optimizer_and_schedule
+    from pcdet_tpu.train.train_state import (create_train_state,
+                                             make_train_step)
+
+    cfg = tiny_pointpillar_cfg(num_class=1)
+    cfg.USE_PSEUDOLIDAR = True
+    cfg_preprocess(cfg)
+    model, batch = _collated_batch(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+    tx, _ = build_optimizer_and_schedule(cfg.MODEL.TRAIN.OPTIMIZATION, 2, 1)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx, donate=False)
+
+    # voxel arrays produced on device: corrupt the host-voxelized ones; the
+    # in-step revoxelization must regenerate them from 'points'
+    sabotaged = dict(batch)
+    sabotaged['voxels'] = jax.numpy.zeros_like(batch['voxels'])
+    sabotaged['num_points'] = jax.numpy.zeros_like(batch['num_points'])
+    sabotaged['voxel_mask'] = jax.numpy.zeros_like(batch['voxel_mask'])
+    new_state, tb = step(state, sabotaged)
+    loss = float(jax.device_get(tb['loss']))
+    assert np.isfinite(loss) and loss > 0
+    # params actually moved (a zero forward would still have cls-bias loss,
+    # but the VFE gradient would be zero; check the VFE kernel changed)
+    before = jax.device_get(
+        state.params['vfe']['PFNLayer_0']['TorchLinear_0']['kernel'])
+    after = jax.device_get(
+        new_state.params['vfe']['PFNLayer_0']['TorchLinear_0']['kernel'])
+    assert np.abs(before - after).max() > 0
+
+
+def test_bev_seg_loss_routed_in_train_step():
+    """MODE containing 'bev' -> BEVSegHead built AND its loss reaches the
+    total (reference pointpillar.py:151-160, minus the 1e-7 bug)."""
+    import jax
+    from pcdet_tpu.train.optimization import build_optimizer_and_schedule
+    from pcdet_tpu.train.train_state import (create_train_state,
+                                             make_train_step)
+
+    cfg = tiny_pointpillar_cfg(num_class=1)
+    cfg.MODE = '3dobjdet+bev'
+    model, batch = _collated_batch(cfg)
+    assert model.with_bev_seg
+    rng = np.random.RandomState(0)
+    batch = dict(batch)
+    batch['bev'] = jax.numpy.asarray(
+        (rng.rand(batch['voxels'].shape[0], 200, 200, 2) > 0.5))
+
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+    assert 'bev_seg_head' in variables['params']
+    tx, _ = build_optimizer_and_schedule(cfg.MODEL.TRAIN.OPTIMIZATION, 2, 1)
+    state = create_train_state(variables, tx)
+    step = make_train_step(model, tx, donate=False)
+    new_state, tb = step(state, batch)
+    assert 'bev_loss' in tb and 'miou' in tb
+    assert np.isfinite(float(jax.device_get(tb['bev_loss'])))
+    b0 = jax.tree_util.tree_leaves(
+        jax.device_get(state.params['bev_seg_head']))
+    b1 = jax.tree_util.tree_leaves(
+        jax.device_get(new_state.params['bev_seg_head']))
+    assert any(np.abs(x - y).max() > 0 for x, y in zip(b0, b1)), \
+        'BEV head got no gradient'
+
+
+def test_train_cli_pseudolidar_e2e(tmp_path):
+    """Config-driven end-to-end: tools/train.py with the shipped argo
+    pseudolidar yaml (+ --set USE_PSEUDOLIDAR True, exactly how the fork
+    switches it on) trains one epoch through the re-voxelization hook."""
+    import jax
+    import pcdet_tpu.experiments as exp
+    import tools.train as train_cli
+
+    calls = {'n': 0}
+    orig = exp.between_dataloading_and_feedforward
+
+    def spy(batch, cfg, point_feature_fn=None, train=None):
+        calls['n'] += 1
+        assert cfg.TORCH_VOXEL_GENERATOR
+        return orig(batch, cfg, point_feature_fn, train)
+
+    n_dev = jax.device_count()
+    out_tag = 'pseudolidar_cpu_e2e'
+    out_dir = Path('output') / 'pointpillar_forward50x50_pseudolidar' / out_tag
+    shutil.rmtree(out_dir, ignore_errors=True)
+    argv = ['train.py',
+            '--cfg_file', 'tools/cfgs/argo/pointpillar_forward50x50_pseudolidar.yaml',
+            '--batch_size', str(n_dev), '--epochs', '1', '--workers', '0',
+            '--ckpt_save_interval', '1', '--extra_tag', out_tag,
+            '--set',
+            'DATA_CONFIG.DATASET', 'SyntheticDataset',
+            'DATA_CONFIG.POINT_CLOUD_RANGE', '[0,-16,-1,32,16,3]',
+            'DATA_CONFIG.VOXEL_GENERATOR.VOXEL_SIZE', '[0.5,0.5,4]',
+            'DATA_CONFIG.TRAIN.MAX_NUMBER_OF_VOXELS', '2000',
+            'DATA_CONFIG.TEST.MAX_NUMBER_OF_VOXELS', '2000',
+            'DATA_CONFIG.MAX_POINTS', '8192',
+            'USE_PSEUDOLIDAR', 'True']
+    old_argv = sys.argv
+    old_hook = exp.between_dataloading_and_feedforward
+    try:
+        exp.between_dataloading_and_feedforward = spy
+        sys.argv = argv
+        train_cli.main()
+    finally:
+        sys.argv = old_argv
+        exp.between_dataloading_and_feedforward = old_hook
+
+    assert calls['n'] > 0, 'hook never invoked through the CLI path'
+    ckpts = glob.glob(str(out_dir / 'ckpt' / 'checkpoint_epoch_*'))
+    assert ckpts, 'no checkpoint written'
+    shutil.rmtree(out_dir, ignore_errors=True)

@@ -38,10 +38,12 @@ def parse_config():
                         help='set extra config keys')
     args = parser.parse_args()
 
-    from pcdet_tpu.config import (cfg, cfg_from_yaml_file, cfg_from_list)
+    from pcdet_tpu.config import (cfg, cfg_from_yaml_file, cfg_from_list,
+                                  cfg_preprocess)
     cfg_from_yaml_file(args.cfg_file, cfg)
     if args.set_cfgs is not None:
         cfg_from_list(args.set_cfgs, cfg)
+        cfg_preprocess(cfg)    # re-derive TORCH_VOXEL_GENERATOR after --set
     return args, cfg
 
 
