@@ -88,6 +88,14 @@ def install_stubs():
     if 'cv2' not in sys.modules:
         sys.modules['cv2'] = types.ModuleType('cv2')
 
+    if 'skimage' not in sys.modules:
+        m = types.ModuleType('skimage')
+        io_m = types.ModuleType('skimage.io')
+        io_m.imread = None    # only used when reading real KITTI images
+        m.io = io_m
+        sys.modules['skimage'] = m
+        sys.modules['skimage.io'] = io_m
+
     if 'segmentation_models_pytorch' not in sys.modules:
         # the fork's PointPillar unconditionally builds an smp.Unet BEV-seg
         # head (reference pointpillar.py:64-66); it is not on the detection
