@@ -13,6 +13,21 @@ import jax
 import jax.numpy as jnp
 
 
+# BatchNorm device-grouping (reference parity): torch DDP's default is
+# per-GPU BN statistics, with --sync_bn as opt-in
+# (reference tools/train.py:94-95 convert_sync_batchnorm).  Under SPMD a
+# plain batch-axis mean IS SyncBN; setting groups = device count computes
+# stats per contiguous batch shard instead — each group's reduction stays
+# on its own device (no collective), exactly emulating per-GPU BN.
+# Set ONCE before building/tracing the train step (jit traces cache it).
+BN_GROUPS = 1
+
+
+def set_bn_groups(groups: int):
+    global BN_GROUPS
+    BN_GROUPS = max(int(groups), 1)
+
+
 def torch_uniform_init(fan_in):
     """torch kaiming_uniform(a=sqrt(5)) == U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
     bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
@@ -46,28 +61,41 @@ class TorchBatchNorm(nn.Module):
                                lambda *_: jnp.ones(self.features, self.dtype))
 
         if train:
-            red_axes = tuple(range(x.ndim - 1))
+            g = BN_GROUPS if (BN_GROUPS > 1 and x.ndim >= 2
+                              and x.shape[0] % BN_GROUPS == 0) else 1
+            c = self.features
+            xg = x.reshape((g, x.shape[0] // g) + x.shape[1:])
+            red_axes = tuple(range(1, xg.ndim - 1))
             if mask is None:
                 n = 1
-                for d in x.shape[:-1]:
+                for d in xg.shape[1:-1]:
                     n *= d
-                n = jnp.asarray(n, self.dtype)
-                mean = jnp.mean(x, axis=red_axes)
-                var = jnp.mean(jnp.square(x - mean), axis=red_axes)
+                n = jnp.full((g, 1), n, self.dtype)
+                mean = jnp.mean(xg, axis=red_axes)              # (g, C)
+                var = jnp.mean(
+                    jnp.square(xg - mean.reshape((g,) + (1,) * (xg.ndim - 2)
+                                                 + (c,))), axis=red_axes)
             else:
-                # mask: (x.shape[:-1]) row validity
-                w = jnp.broadcast_to(mask.astype(self.dtype)[..., None], x.shape)
-                n = jnp.maximum(jnp.sum(mask.astype(self.dtype)), 1.0)
-                mean = jnp.sum(x * w, axis=red_axes) / n
-                var = jnp.sum(jnp.square(x - mean) * w, axis=red_axes) / n
+                mg = mask.astype(self.dtype).reshape(
+                    (g, x.shape[0] // g) + mask.shape[1:])
+                w = jnp.broadcast_to(mg[..., None], xg.shape)
+                n = jnp.maximum(w[..., 0].sum(axis=red_axes), 1.0)[:, None]
+                mean = jnp.sum(xg * w, axis=red_axes) / n       # (g, C)
+                mexp = mean.reshape((g,) + (1,) * (xg.ndim - 2) + (c,))
+                var = jnp.sum(jnp.square(xg - mexp) * w, axis=red_axes) / n
             if not self.is_initializing():
                 m = self.momentum
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
-                ra_mean.value = (1 - m) * ra_mean.value + m * mean
-                ra_var.value = (1 - m) * ra_var.value + m * unbiased
-        else:
-            mean, var = ra_mean.value, ra_var.value
+                # per-device BN: group 0 plays DDP rank 0 (whose buffers the
+                # reference checkpoints); sync BN (g=1) reduces to the usual
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean[0]
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased[0]
+            shape = (g,) + (1,) * (xg.ndim - 2) + (c,)
+            y = ((xg - mean.reshape(shape))
+                 * jax.lax.rsqrt(var.reshape(shape) + self.eps))
+            return y.reshape(x.shape) * scale + bias
 
+        mean, var = ra_mean.value, ra_var.value
         y = (x - mean) * jax.lax.rsqrt(var + self.eps)
         return y * scale + bias
 

@@ -179,3 +179,42 @@ def test_pfn_layer_matches_torch():
         {'params': params, 'batch_stats': variables['batch_stats']},
         jnp.asarray(x), jnp.asarray(mask), True, mutable=['batch_stats'])
     np.testing.assert_allclose(np.asarray(got)[0], want, rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_batchnorm_matches_per_device_torch_bn():
+    """BN_GROUPS=g must equal torch BN run independently on each batch group
+    (per-GPU DDP semantics, reference tools/train.py:94-95), with running
+    stats tracking group 0 (DDP rank 0's buffers are what gets checkpointed)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from pcdet_tpu.models import layers
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(6, 7, 5).astype(np.float32)
+
+    bn = layers.TorchBatchNorm(5)
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x), True)
+    layers.set_bn_groups(2)
+    try:
+        y, updated = bn.apply(variables, jnp.asarray(x), True,
+                              mutable=['batch_stats'])
+    finally:
+        layers.set_bn_groups(1)
+
+    tbn = torch.nn.BatchNorm1d(5, eps=1e-3, momentum=0.01)
+    with torch.no_grad():
+        ys = []
+        for g in range(2):
+            if g == 1:        # rank-0 buffers only: reset after group 0
+                saved = (tbn.running_mean.clone(), tbn.running_var.clone())
+            xt = torch.from_numpy(x[g * 3:(g + 1) * 3]).reshape(-1, 5)
+            ys.append(tbn(xt).reshape(3, 7, 5).numpy())
+    np.testing.assert_allclose(np.asarray(y), np.concatenate(ys),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(updated['batch_stats']['mean']), saved[0].numpy(),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(updated['batch_stats']['var']), saved[1].numpy(),
+        rtol=1e-5, atol=1e-6)

@@ -31,6 +31,10 @@ def parse_config():
     parser.add_argument('--ckpt_save_interval', type=int, default=2)
     parser.add_argument('--max_ckpt_save_num', type=int, default=30)
     parser.add_argument('--fix_random_seed', action='store_true', default=False)
+    parser.add_argument('--sync_bn', action='store_true', default=False,
+                        help='BatchNorm stats over the global batch '
+                             '(reference --sync_bn; default matches the '
+                             'reference: per-device statistics)')
     parser.add_argument('--multi_host', action='store_true', default=False,
                         help='call jax.distributed.initialize() first')
     parser.add_argument('--set', dest='set_cfgs', default=None,
@@ -53,6 +57,11 @@ def main():
     import jax
     if args.multi_host:
         jax.distributed.initialize()
+
+    if not args.sync_bn:
+        # reference default: per-GPU BatchNorm statistics (tools/train.py:94)
+        from pcdet_tpu.models import layers as layer_lib
+        layer_lib.set_bn_groups(jax.device_count())
 
     from pcdet_tpu.config import log_config_to_file
     from pcdet_tpu.datasets import build_dataloader
