@@ -17,9 +17,49 @@ SIZES = {
 }
 
 
+def lidar_ground_rings(rng, num_beams=64, elev_range=(-24.9, -0.5),
+                       azim_range=(-48.0, 48.0), azim_step=0.17,
+                       ground_z=-1.73, max_range=70.0, noise=0.02):
+    """Ground returns with real spinning-LiDAR structure: each beam with a
+    downward elevation intersects the ground plane on a RING of radius
+    h / tan(|elev|).  Real scans are locally dense along these rings — which
+    is what makes sparse-conv active-set dilation far smaller than for
+    uniform-random points (a uniform scatter at the same density overstates
+    the strided conv output set ~2x; scripts/measure_occupancy.py).
+    """
+    elevs = np.radians(np.linspace(elev_range[0], elev_range[1], num_beams))
+    azims = np.radians(np.arange(azim_range[0], azim_range[1], azim_step))
+    pts = []
+    sensor_h = -ground_z
+    for el in elevs:
+        if el >= -1e-3:
+            continue
+        r = sensor_h / np.tan(-el)
+        if r > max_range:
+            continue
+        ring_az = azims + rng.uniform(-1e-3, 1e-3)
+        x = r * np.cos(ring_az)
+        y = r * np.sin(ring_az)
+        n = len(ring_az)
+        pts.append(np.stack([
+            x + rng.normal(0, noise, n), y + rng.normal(0, noise, n),
+            np.full(n, ground_z) + rng.normal(0, noise, n),
+            rng.uniform(0, 1, n)], axis=1))
+    if not pts:
+        return np.zeros((0, 4), np.float32)
+    return np.concatenate(pts).astype(np.float32)
+
+
 def make_scene(rng, class_names, num_objects=8, num_ground=4000,
-               pts_per_obj=300, x_range=(5, 60), y_range=(-30, 30)):
-    """Random scene: returns points (P, 4), gt_boxes (M, 7), gt_names (M,)."""
+               pts_per_obj=300, x_range=(5, 60), y_range=(-30, 30),
+               ground_mode='uniform'):
+    """Random scene: returns points (P, 4), gt_boxes (M, 7), gt_names (M,).
+
+    :param ground_mode: 'uniform' scatters `num_ground` points in a z band
+        (cheap, used by the overfit tests); 'rings' generates beam-structured
+        ground like a real spinning LiDAR (realistic sparse occupancy,
+        used by the benchmarks; `num_ground` is ignored).
+    """
     boxes, names = [], []
     for _ in range(num_objects):
         cls = class_names[rng.randint(len(class_names))]
@@ -56,13 +96,16 @@ def make_scene(rng, class_names, num_objects=8, num_ground=4000,
         refl = rng.uniform(0, 1, pts_per_obj)
         pts.append(np.stack([gx, gy, gz, refl], axis=1))
 
-    ground = np.stack([
-        rng.uniform(0, 69, num_ground),
-        rng.uniform(-39, 39, num_ground),
-        rng.normal(-1.75, 0.05, num_ground),
-        rng.uniform(0, 1, num_ground),
-    ], axis=1)
-    pts.append(ground)
+    if ground_mode == 'rings':
+        pts.append(lidar_ground_rings(rng))
+    else:
+        ground = np.stack([
+            rng.uniform(0, 69, num_ground),
+            rng.uniform(-39, 39, num_ground),
+            rng.normal(-1.75, 0.05, num_ground),
+            rng.uniform(0, 1, num_ground),
+        ], axis=1)
+        pts.append(ground)
     points = np.concatenate(pts, axis=0).astype(np.float32)
     return points, boxes, names
 
@@ -74,6 +117,11 @@ class SyntheticDataset(DatasetTemplate):
         syn = cfg.DATA_CONFIG.get('SYNTHETIC', {})
         self.num_samples = num_samples or int(syn.get('NUM_SAMPLES', 16))
         self.num_objects = int(syn.get('NUM_OBJECTS', 8))
+        # density knobs so benchmarks can match real-KITTI occupancy
+        # (FOV-cropped KITTI scans carry ~17-20k points, ~15-30 objects)
+        self.num_ground = int(syn.get('NUM_GROUND', 4000))
+        self.pts_per_obj = int(syn.get('PTS_PER_OBJ', 300))
+        self.ground_mode = str(syn.get('GROUND_MODE', 'uniform'))
         self.seed = seed
 
     def __len__(self):
@@ -82,7 +130,10 @@ class SyntheticDataset(DatasetTemplate):
     def get_raw(self, index):
         rng = np.random.RandomState(self.seed + index)
         points, boxes, names = make_scene(rng, self.class_names,
-                                          num_objects=self.num_objects)
+                                          num_objects=self.num_objects,
+                                          num_ground=self.num_ground,
+                                          pts_per_obj=self.pts_per_obj,
+                                          ground_mode=self.ground_mode)
         return {
             'sample_idx': index,
             'points': points,

@@ -57,7 +57,7 @@ def eval_one_epoch(model, params, batch_stats, dataloader, cfg,
         futures = []
         for batch in dataloader:
             dev_batch = {k: jax.numpy.asarray(v) for k, v in batch.items()
-                         if isinstance(v, np.ndarray) and v.dtype != object}
+                         if isinstance(v, np.ndarray) and v.dtype.kind in 'biufc'}
             preds = eval_forward(params, batch_stats, dev_batch)
             n_examples += batch['batch_size']
 

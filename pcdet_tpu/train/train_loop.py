@@ -29,7 +29,7 @@ def _wandb_log(scalars, step):
 
 def _to_device_batch(batch, mesh=None):
     keep = {k: v for k, v in batch.items()
-            if isinstance(v, np.ndarray) and v.dtype != object}
+            if isinstance(v, np.ndarray) and v.dtype.kind in 'biufc'}
     if mesh is not None:
         return mesh_lib.shard_batch(keep, mesh)
     return {k: jax.numpy.asarray(v) for k, v in keep.items()}

@@ -24,3 +24,15 @@ os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '0')
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _reset_bn_groups():
+    """BN_GROUPS is a process-global the train CLI sets (per-device BN);
+    CLI e2e tests must not leak it into later BN-parity tests."""
+    from pcdet_tpu.models import layers
+    layers.set_bn_groups(1)
+    yield

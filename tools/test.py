@@ -82,7 +82,7 @@ def main():
     example = collate_batch([dataset[i % len(dataset)]
                              for i in range(args.batch_size)])
     example_dev = {k: jax.numpy.asarray(v) for k, v in example.items()
-                   if isinstance(v, np.ndarray) and v.dtype != object}
+                   if isinstance(v, np.ndarray) and v.dtype.kind in 'biufc'}
     variables = model.init_variables(jax.random.PRNGKey(0), example_dev)
 
     if not args.eval_all:
