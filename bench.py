@@ -6,10 +6,20 @@ voxelization (ops.voxelizer.voxelize_jnp) -> PillarVFE -> BEV scatter -> RPNV2
 north-star path ("the full detect path — raw KITTI velodyne scan to boxes —
 runs on-device").
 
-vs_baseline: PCDet's published PointPillar inference speed on its CUDA stack
-is ~42 FPS on a consumer GPU (the repo logs sec_per_example but publishes no
-number; 42 FPS is the commonly-reported PointPillars figure the CUDA stack
-achieves). vs_baseline = fps / 42.
+vs_baseline provenance: the reference publishes NO inference-speed number
+(its eval only logs an unpublished sec_per_example,
+reference tools/eval_utils/eval_utils.py:67-68); BASELINE.json `published`
+is empty.  42 FPS is the PointPillars paper's own headline (62 Hz on a
+GTX 1080 Ti for the raw network; whole-pipeline CUDA implementations such
+as PCDet-era repos commonly report ~42 Hz end-to-end with NMS at batch 1).
+We therefore benchmark the FULL pipeline (on-device voxelize -> VFE ->
+scatter -> RPN -> decode -> rotated NMS) against that 42 FPS figure.
+vs_baseline = fps / 42.
+
+Scan realism: scenes use beam-structured ground (synthetic.lidar_ground_rings
+— ring geometry like a spinning 64-beam LiDAR, ~25k pts + 24 objects, at or
+above KITTI FOV-crop density) so pillar occupancy and NMS candidate counts
+match real data rather than uniform noise.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
@@ -61,7 +71,7 @@ def main():
     scans, masks = [], []
     for i in range(BATCH):
         pts, _, _ = make_scene(np.random.RandomState(i), list(cfg.CLASS_NAMES),
-                               num_objects=24, num_ground=45000,
+                               num_objects=24, ground_mode='rings',
                                pts_per_obj=400, x_range=(3, 68),
                                y_range=(-38, 38))
         n = min(len(pts), MAX_POINTS)

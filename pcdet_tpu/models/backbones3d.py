@@ -24,7 +24,13 @@ from .layers import TorchBatchNorm, TorchLinear, torch_uniform_init
 
 
 class SpConvBNReLU(nn.Module):
-    """One sparse conv + masked BN + ReLU block."""
+    """One sparse conv + masked BN + ReLU block.
+
+    `compute_dtype` ('' | 'bfloat16'): cast the gathered feature table +
+    weights inside the conv (accumulation stays f32) — halves the VMEM
+    streaming that dominates the TPU gather-GEMM.  Off by default for exact
+    float32 parity with the reference.
+    """
     out_channels: int
     kernel: Tuple[int, int, int] = (3, 3, 3)
     stride: Tuple[int, int, int] = (1, 1, 1)
@@ -32,6 +38,7 @@ class SpConvBNReLU(nn.Module):
     conv_type: str = 'subm'          # 'subm' | 'spconv' | 'inverseconv'
     out_cap: int = 0                 # required for 'spconv'
     use_norm: bool = True
+    compute_dtype: str = ''
 
     @nn.compact
     def __call__(self, level, train: bool, target=None):
@@ -41,18 +48,21 @@ class SpConvBNReLU(nn.Module):
         fan_in = cin * k
         w = self.param('kernel', torch_uniform_init(fan_in),
                        (k, cin, self.out_channels))
+        cd = jnp.bfloat16 if self.compute_dtype == 'bfloat16' else None
         if self.conv_type == 'subm':
-            out = sparse.subm_conv3d_batched(level, w, kernel=self.kernel)
+            out = sparse.subm_conv3d_batched(level, w, kernel=self.kernel,
+                                             compute_dtype=cd)
         elif self.conv_type == 'spconv':
             out = sparse.sparse_conv3d_batched(
                 level, w, kernel=self.kernel, stride=self.stride,
                 padding=self.padding,
-                out_cap=self.out_cap or level.features.shape[1])
+                out_cap=self.out_cap or level.features.shape[1],
+                compute_dtype=cd)
         elif self.conv_type == 'inverseconv':
             assert target is not None
             out = sparse.inverse_conv3d_batched(
                 level, target, w, kernel=self.kernel, stride=self.stride,
-                padding=self.padding)
+                padding=self.padding, compute_dtype=cd)
         else:
             raise NotImplementedError(self.conv_type)
 
@@ -64,25 +74,66 @@ class SpConvBNReLU(nn.Module):
         return out._replace(features=feats)
 
 
+def _resolve_caps(cap, level_caps, level_caps_frac, train, n=4):
+    """Static per-level voxel caps for (conv2, conv3, conv4, conv_out):
+    absolute `level_caps` win; otherwise `level_caps_frac` scales the INPUT
+    cap, rounded up to a multiple of 256.  0 -> input cap.
+
+    IMPORTANT (measured, scripts/measure_occupancy.py): a strided sparse
+    conv DILATES a thin LiDAR surface — on realistic beam-structured scans
+    conv2's active set reaches ~1.9x a truncated 16k input and ~1.3x an
+    untruncated one, so the historical default (cap at every level) both
+    truncated conv2/conv3 at train shapes AND wasted 2-4x at conv4/out.
+    Fractions > 1 are legitimate for the early strided levels.
+    """
+    # Clamps keep configs written for production caps sane at the small
+    # caps used by unit tests: at eval the input cap has headroom over real
+    # scans, so demand never exceeds it (clamp to cap); at train the input
+    # IS truncated at the cap and dilation legitimately exceeds it (clamp
+    # to 4x, beyond the measured 1.9x worst case).
+    bound = 4 * cap if train else cap
+    caps = []
+    for i in range(n):
+        a = level_caps[i] if i < len(level_caps) else 0
+        f = level_caps_frac[i] if i < len(level_caps_frac) else 0.0
+        if a:
+            caps.append(min(int(a), bound))
+        elif f:
+            caps.append(min(int(-(-f * cap // 256) * 256), bound))
+        else:
+            caps.append(cap)
+    return caps
+
+
 class BackBone8x(nn.Module):
     """SECOND sparse encoder -> dense BEV features.
 
-    `level_caps` (optional, len 3): static voxel caps for the three strided
-    levels — deeper levels carry fewer active voxels than the input cap, so
-    tightening them cuts rulebook+gather cost proportionally.  Defaults to
-    the input cap everywhere (no truncation risk).
+    `level_caps` (optional, len 3-4): static voxel caps for the strided
+    levels (conv2, conv3, conv4, conv_out) — deeper levels carry fewer
+    active voxels than the input cap, so tightening them cuts
+    rulebook+gather cost proportionally.  `level_caps_frac` expresses the
+    same as fractions of the input cap.  Defaults to the input cap
+    everywhere (no truncation risk).
     """
     sparse_shape: Tuple[int, int, int]       # (41, 1600, 1408)
     last_pad: Tuple[int, int, int] = (0, 0, 0)
     use_norm: bool = True
-    level_caps: Tuple[int, int, int] = (0, 0, 0)
+    level_caps: Tuple[int, ...] = (0, 0, 0)          # train-mode absolutes
+    level_caps_test: Tuple[int, ...] = ()            # eval-mode absolutes
+    level_caps_frac: Tuple[float, ...] = (0., 0., 0., 0.)
+    compute_dtype: str = ''
 
     @nn.compact
     def __call__(self, level, train: bool):
         """:param level: batched SparseLevel at full resolution;
         :return: (B, H, W, C*D) dense BEV + encoder levels."""
+        from functools import partial
+        SpConvBNReLU = partial(globals()['SpConvBNReLU'],
+                               compute_dtype=self.compute_dtype)
         cap = level.features.shape[1]
-        caps = [c or cap for c in self.level_caps]
+        absolute = (self.level_caps if train or not self.level_caps_test
+                    else self.level_caps_test)
+        caps = _resolve_caps(cap, absolute, self.level_caps_frac, train)
         x = SpConvBNReLU(16, name='conv_input')(level, train)
         x1 = SpConvBNReLU(16, name='conv1_0')(x, train)
         x2 = SpConvBNReLU(32, stride=(2, 2, 2), conv_type='spconv',
@@ -101,7 +152,7 @@ class BackBone8x(nn.Module):
 
         out = SpConvBNReLU(128, kernel=(3, 1, 1), stride=(2, 1, 1),
                            padding=self.last_pad, conv_type='spconv',
-                           out_cap=cap, name='conv_out')(x4, train)
+                           out_cap=caps[3], name='conv_out')(x4, train)
 
         dense = sparse.to_dense_batched(out)            # (B, D, H, W, 128)
         b, d, h, w, c = dense.shape
@@ -115,22 +166,24 @@ class BackBone8x(nn.Module):
 class SparseBasicBlock(nn.Module):
     """Residual block of two subm convs (reference resnet_utils.py:17-48)."""
     planes: int
+    compute_dtype: str = ''
 
     @nn.compact
     def __call__(self, level, train: bool):
+        cd = jnp.bfloat16 if self.compute_dtype == 'bfloat16' else None
         identity = level.features
         out = level
         k1 = self.param('kernel1', torch_uniform_init(
             level.features.shape[-1] * 27), (27, level.features.shape[-1],
                                              self.planes))
-        out = sparse.subm_conv3d_batched(out, k1)
+        out = sparse.subm_conv3d_batched(out, k1, compute_dtype=cd)
         f = TorchBatchNorm(self.planes, name='bn1')(out.features, train,
                                                     mask=out.mask)
         f = jax.nn.relu(f) * out.mask[..., None].astype(f.dtype)
         out = out._replace(features=f)
         k2 = self.param('kernel2', torch_uniform_init(self.planes * 27),
                         (27, self.planes, self.planes))
-        out = sparse.subm_conv3d_batched(out, k2)
+        out = sparse.subm_conv3d_batched(out, k2, compute_dtype=cd)
         f = TorchBatchNorm(self.planes, name='bn2')(out.features, train,
                                                     mask=out.mask)
         f = jax.nn.relu(f + identity) * out.mask[..., None].astype(f.dtype)
@@ -144,11 +197,19 @@ class UNetV2(nn.Module):
     """
     sparse_shape: Tuple[int, int, int]
     last_pad: Tuple[int, int, int] = (0, 0, 0)
+    level_caps: Tuple[int, ...] = (0, 0, 0)          # train-mode absolutes
+    level_caps_test: Tuple[int, ...] = ()            # eval-mode absolutes
+    level_caps_frac: Tuple[float, ...] = (0., 0., 0., 0.)
+    compute_dtype: str = ''
 
     def ur_block(self, x_lateral, x_bottom, planes, inv_cfg, name, train):
         """UR block (rpn_unet.py:414-422): lateral residual block, concat with
         bottom, subm conv, channel-reduced residual add, then up/last conv."""
-        x_trans = SparseBasicBlock(planes, name=name + '_t')(x_lateral, train)
+        from functools import partial
+        SpConvBNReLU = partial(globals()['SpConvBNReLU'],
+                               compute_dtype=self.compute_dtype)
+        x_trans = SparseBasicBlock(planes, compute_dtype=self.compute_dtype,
+                                   name=name + '_t')(x_lateral, train)
         cat = x_trans._replace(features=jnp.concatenate(
             [x_bottom.features, x_trans.features], axis=-1))
         x_m = SpConvBNReLU(planes, name=name + '_m')(cat, train)
@@ -167,26 +228,32 @@ class UNetV2(nn.Module):
 
     @nn.compact
     def __call__(self, level, train: bool):
+        from functools import partial
+        SpConvBNReLU = partial(globals()['SpConvBNReLU'],
+                               compute_dtype=self.compute_dtype)
         cap = level.features.shape[1]
+        absolute = (self.level_caps if train or not self.level_caps_test
+                    else self.level_caps_test)
+        caps = _resolve_caps(cap, absolute, self.level_caps_frac, train)
         x = SpConvBNReLU(16, name='conv_input')(level, train)
         x1 = SpConvBNReLU(16, name='conv1_0')(x, train)
         x2 = SpConvBNReLU(32, stride=(2, 2, 2), conv_type='spconv',
-                          out_cap=cap, name='conv2_0')(x1, train)
+                          out_cap=caps[0], name='conv2_0')(x1, train)
         x2 = SpConvBNReLU(32, name='conv2_1')(x2, train)
         x2 = SpConvBNReLU(32, name='conv2_2')(x2, train)
         x3 = SpConvBNReLU(64, stride=(2, 2, 2), conv_type='spconv',
-                          out_cap=cap, name='conv3_0')(x2, train)
+                          out_cap=caps[1], name='conv3_0')(x2, train)
         x3 = SpConvBNReLU(64, name='conv3_1')(x3, train)
         x3 = SpConvBNReLU(64, name='conv3_2')(x3, train)
         x4 = SpConvBNReLU(64, stride=(2, 2, 2), padding=(0, 1, 1),
-                          conv_type='spconv', out_cap=cap,
+                          conv_type='spconv', out_cap=caps[2],
                           name='conv4_0')(x3, train)
         x4 = SpConvBNReLU(64, name='conv4_1')(x4, train)
         x4 = SpConvBNReLU(64, name='conv4_2')(x4, train)
 
         out = SpConvBNReLU(128, kernel=(3, 1, 1), stride=(2, 1, 1),
                            padding=self.last_pad, conv_type='spconv',
-                           out_cap=cap, name='conv_out')(x4, train)
+                           out_cap=caps[3], name='conv_out')(x4, train)
         dense = sparse.to_dense_batched(out)
         b, d, h, w, c = dense.shape
         bev = jnp.transpose(dense, (0, 2, 3, 4, 1)).reshape(b, h, w, c * d)

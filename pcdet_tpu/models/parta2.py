@@ -33,6 +33,10 @@ class PartA2Module(nn.Module):
     sparse_shape: Tuple[int, int, int]
     last_pad: Tuple[int, int, int]
     rpn_args: Dict[str, Any]
+    level_caps: Tuple[int, ...] = (0, 0, 0)
+    level_caps_test: Tuple[int, ...] = ()
+    level_caps_frac: Tuple[float, ...] = (0., 0., 0., 0.)
+    compute_dtype: str = ''
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, voxel_mask, train: bool):
@@ -43,6 +47,10 @@ class PartA2Module(nn.Module):
         unet_cls = {'UNetV2': UNetV2, 'UNetV0': UNetV0}[self.backbone_name]
         bev, unet_ret = unet_cls(sparse_shape=self.sparse_shape,
                                  last_pad=self.last_pad,
+                                 level_caps=self.level_caps,
+                                 level_caps_test=self.level_caps_test,
+                                 level_caps_frac=self.level_caps_frac,
+                                 compute_dtype=self.compute_dtype,
                                  name='unet')(level, train)
         a = self.rpn_args
         ret = RPNV2(
@@ -131,6 +139,14 @@ class PartA2Net:
             sparse_shape=self.sparse_shape,
             last_pad=last_pad,
             rpn_args=self.head_args,
+            level_caps=tuple(cfg.MODEL.RPN.BACKBONE.get('ARGS', {})
+                             .get('level_caps', (0, 0, 0))),
+            level_caps_test=tuple(cfg.MODEL.RPN.BACKBONE.get('ARGS', {})
+                                  .get('level_caps_test', ())),
+            level_caps_frac=tuple(cfg.MODEL.RPN.BACKBONE.get('ARGS', {})
+                                  .get('level_caps_frac', (0., 0., 0., 0.))),
+            compute_dtype=str(cfg.MODEL.RPN.BACKBONE.get('ARGS', {})
+                              .get('compute_dtype', '')),
         )
         rcnn_cfg = cfg.MODEL.RCNN
         self.rcnn_cfg = rcnn_cfg

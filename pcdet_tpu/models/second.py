@@ -26,7 +26,10 @@ class SECONDNetModule(nn.Module):
     sparse_shape: Tuple[int, int, int]
     last_pad: Tuple[int, int, int]
     rpn_args: Dict[str, Any]
-    level_caps: Tuple[int, int, int] = (0, 0, 0)
+    level_caps: Tuple[int, ...] = (0, 0, 0)
+    level_caps_test: Tuple[int, ...] = ()
+    level_caps_frac: Tuple[float, ...] = (0., 0., 0., 0.)
+    compute_dtype: str = ''
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, voxel_mask, train: bool):
@@ -37,6 +40,9 @@ class SECONDNetModule(nn.Module):
         bev, encoder_levels = BackBone8x(
             sparse_shape=self.sparse_shape, last_pad=self.last_pad,
             level_caps=self.level_caps,
+            level_caps_test=self.level_caps_test,
+            level_caps_frac=self.level_caps_frac,
+            compute_dtype=self.compute_dtype,
             name='backbone_3d')(level, train)
         a = self.rpn_args
         ret = RPNV2(
@@ -87,6 +93,10 @@ class SECONDNet:
             last_pad=last_pad,
             rpn_args=self.head_args,
             level_caps=tuple(backbone_args.get('level_caps', (0, 0, 0))),
+            level_caps_test=tuple(backbone_args.get('level_caps_test', ())),
+            level_caps_frac=tuple(backbone_args.get('level_caps_frac',
+                                                    (0., 0., 0., 0.))),
+            compute_dtype=str(backbone_args.get('compute_dtype', '')),
         )
 
     def init_variables(self, rng, batch):

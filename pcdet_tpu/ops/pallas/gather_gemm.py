@@ -25,7 +25,9 @@ TV = 64          # output rows per program (static unroll bound)
 
 def _kernel(rules_ref, feats_ref, w_ref, out_ref, g_scratch):
     # rules_ref: (TV, K) int32 in SMEM; feats_ref: (V+1, Cin) VMEM;
-    # w_ref: (K, Cin, Cout) VMEM; out_ref: (TV, Cout); g_scratch: (TV, Cin)
+    # w_ref: (K, Cin, Cout) VMEM; out_ref: (TV, Cout); g_scratch: (TV, Cin).
+    # feats/weights may be bfloat16 (halves the VMEM streaming that
+    # dominates); accumulation stays float32.
     k_taps = w_ref.shape[0]
     cout = w_ref.shape[2]
 
@@ -35,9 +37,12 @@ def _kernel(rules_ref, feats_ref, w_ref, out_ref, g_scratch):
         for i in range(TV):                     # static unroll
             row = rules_ref[i, k]
             g_scratch[i, :] = feats_ref[row, :]
+        prec = (jax.lax.Precision.DEFAULT
+                if g_scratch.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST)
         acc = acc + jnp.dot(g_scratch[:], w_ref[k],
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+                            precision=prec)
         return acc
 
     acc = jax.lax.fori_loop(
@@ -78,7 +83,7 @@ def _gather_matmul_fwd_only(features, rules, weights):
         ],
         out_specs=pl.BlockSpec((TV, cout), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((TV, cin), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((TV, cin), features.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(rules, features, weights)
@@ -112,3 +117,137 @@ def _gather_matmul_vjp_bwd(res, g):
 
 
 gather_matmul.defvjp(_gather_matmul_vjp_fwd, _gather_matmul_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# dW kernel for the subm-conv backward: dW[k] = feats[rules[:, k]]^T @ g
+# ---------------------------------------------------------------------------
+
+def _dw_kernel(rules_ref, g_ref, feats_ref, out_ref, f_scratch, acc_ref):
+    """Grid (K, n_tiles) with the tile dim fastest: for each tap k the
+    scratch accumulator is reset at tile 0, accumulates one
+    (Cin, TV) x (TV, Cout) MXU matmul per tile, and lands in out block k at
+    the last tile.  rules_ref: (TV, K) SMEM (full tap dim — Mosaic requires
+    the last block dim to span the array; the tap column is selected by
+    program id); g_ref: (TV, Cout); feats_ref: (V+1, Cin) resident;
+    out_ref: (1, Cin, Cout)."""
+    k = pl.program_id(0)
+    i = pl.program_id(1)
+    n = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for r in range(f_scratch.shape[0]):          # static unroll
+        row = rules_ref[r, k]
+        f_scratch[r, :] = feats_ref[row, :]
+    prec = (jax.lax.Precision.DEFAULT if f_scratch.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
+        f_scratch[:], g_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+
+    @pl.when(i == n - 1)
+    def _():
+        out_ref[0] = acc_ref[...]
+
+
+@jax.jit
+def gather_dw(features, rules, g):
+    """dW[k] = sum_v features[rules[v, k]] (outer) g[v]  ->  (K, Cin, Cout).
+
+    :param features: (V+1, Cin), last row zeros; :param rules: (V, K) int32
+    in [0, V] (misses routed to the zero row); :param g: (V, Cout) f32
+    """
+    v, k = rules.shape
+    cin = features.shape[1]
+    cout = g.shape[1]
+    pad = (-v) % TV
+    if pad:
+        rules = jnp.pad(rules, ((0, pad), (0, 0)),
+                        constant_values=features.shape[0] - 1)
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+    vp = rules.shape[0]
+
+    out = pl.pallas_call(
+        _dw_kernel,
+        out_shape=jax.ShapeDtypeStruct((k, cin, cout), jnp.float32),
+        grid=(k, vp // TV),
+        in_specs=[
+            pl.BlockSpec((TV, k), lambda kk, i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TV, cout), lambda kk, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # full feature table
+        ],
+        out_specs=pl.BlockSpec((1, cin, cout), lambda kk, i: (kk, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TV, cin), features.dtype),
+                        pltpu.VMEM((cin, cout), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(rules, g, features)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Scatter-free subm-conv matmul: backward uses the MIRRORED rulebook
+# ---------------------------------------------------------------------------
+
+def _gm_any(features, rules, weights):
+    """gather+GEMM on either backend (Pallas on TPU, XLA gather on CPU)."""
+    if jax.default_backend() != 'cpu':
+        return _gather_matmul_fwd_only(features, rules, weights)
+    v, k = rules.shape
+    cin = features.shape[1]
+    gathered = features[rules.reshape(-1)].reshape(v, k * cin)
+    return jnp.dot(gathered, weights.reshape(k * cin, -1),
+                   preferred_element_type=jnp.float32)
+
+
+def _dw_any(features, rules, g):
+    if jax.default_backend() != 'cpu':
+        return gather_dw(features, rules, g)
+    v, k = rules.shape
+    cin = features.shape[1]
+    gathered = features[rules.reshape(-1)].reshape(v, k, cin)
+    return jnp.einsum('vki,vo->kio', gathered, g,
+                      preferred_element_type=jnp.float32)
+
+
+@jax.custom_vjp
+def gather_matmul_subm(features, rules, rules_mirror, weights):
+    """gather_matmul for SUBMANIFOLD convs (output sites == input sites,
+    odd kernel): `rules_mirror` = rules[:, ::-1] is the exact transpose
+    rulebook (offset a_{K-1-k} = -a_k), so the feature gradient is ANOTHER
+    gather-GEMM — no XLA scatter-add anywhere in the backward:
+
+        df[u] = sum_k g[rules[u, K-1-k]] @ W[K-1-k]^T
+        dW[k] = feats[rules[:, k]]^T @ g        (gather_dw Pallas kernel)
+    """
+    return _gm_any(features, rules, weights)
+
+
+def _gm_subm_fwd(features, rules, rules_mirror, weights):
+    return _gm_any(features, rules, weights), (features, rules, rules_mirror,
+                                               weights)
+
+
+def _gm_subm_bwd(res, g):
+    features, rules, rules_mirror, weights = res
+    cin = features.shape[1]
+    g_c = g.astype(features.dtype)
+    g_padded = jnp.concatenate(
+        [g_c, jnp.zeros((1, g.shape[1]), g_c.dtype)], axis=0)
+    # df[u] = sum_k g[neighbor at -a_k] @ W[k]^T: the gather taps come from
+    # the MIRRORED rulebook while the weights keep their original tap order
+    # (mirroring both would cancel out)
+    w_t = jnp.transpose(weights, (0, 2, 1)).astype(features.dtype)
+    df = _gm_any(g_padded, rules_mirror, w_t).astype(features.dtype)
+    df = jnp.concatenate([df, jnp.zeros((1, cin), features.dtype)], axis=0)
+    dw = _dw_any(features, rules, g_c).astype(weights.dtype)
+    return df, None, None, dw
+
+
+gather_matmul_subm.defvjp(_gm_subm_fwd, _gm_subm_bwd)

@@ -318,37 +318,109 @@ def _rules_generic(level: SparseLevel, out_coords, out_mask, in_pos_fn,
     return rows.reshape(v, k), found.reshape(v, k)
 
 
-def _apply_rules(level: SparseLevel, out_mask, rows, found, weights):
+def _apply_rules(level: SparseLevel, out_mask, rows, found, weights,
+                 compute_dtype=None, mirror=False):
     """Gather neighbour features by the rulebook and contract with the
-    flattened weights: out = feats[rules].reshape(V, K*Cin) @ W."""
+    flattened weights: out = feats[rules].reshape(V, K*Cin) @ W.
+
+    :param compute_dtype: optional cast (e.g. jnp.bfloat16) for the gathered
+        feature table + weights — halves the VMEM streaming that dominates
+        the Pallas gather-GEMM; accumulation stays float32.  The output is
+        always float32.
+    """
     v, k = rows.shape
     cin = level.features.shape[-1]
-    if jax.default_backend() != 'cpu':
+    feats = level.features
+    if compute_dtype is not None:
+        feats = feats.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
+    if mirror:
+        # submanifold conv (out sites == in sites, odd kernel): the
+        # tap-reversed rulebook IS the transpose rulebook, so the whole
+        # backward is gather-GEMMs too (zero XLA scatters in training)
+        from .pallas.gather_gemm import gather_matmul_subm
+        n_in = feats.shape[0]
+        rules = jnp.where(found, rows, n_in)
+        feats_padded = jnp.concatenate(
+            [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
+        out = gather_matmul_subm(feats_padded, rules, rules[:, ::-1],
+                                 weights)
+    elif jax.default_backend() != 'cpu':
         # Pallas rulebook gather+GEMM: XLA's row-gather slow path costs
         # ~240 ms/layer at V=16k (PERF_NOTES.md); the kernel is ~8x faster.
         from .pallas.gather_gemm import gather_matmul
-        n_in = level.features.shape[0]
+        n_in = feats.shape[0]
         rules = jnp.where(found, rows, n_in)
         feats_padded = jnp.concatenate(
-            [level.features, jnp.zeros((1, cin), level.features.dtype)],
-            axis=0)
+            [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
         out = gather_matmul(feats_padded, rules, weights)
     else:
-        gathered = level.features[rows.reshape(-1)]       # (V*K, Cin)
-        gathered = jnp.where(found.reshape(-1)[:, None], gathered, 0.0)
+        gathered = feats[rows.reshape(-1)]                # (V*K, Cin)
+        gathered = jnp.where(found.reshape(-1)[:, None], gathered,
+                             jnp.zeros((), gathered.dtype))
         gathered = gathered.reshape(v, k * cin)
         w = weights.reshape(k * cin, -1)
         out = jnp.dot(gathered, w, preferred_element_type=jnp.float32)
     return out * out_mask[:, None].astype(out.dtype)
 
 
-def subm_conv3d(level: SparseLevel, weights, kernel=3):
+def _apply_rules_transpose_bwd(level, out_mask, rows, found, weights,
+                               compute_dtype, bwd_builder, bwd_args):
+    """Like _apply_rules, but the feature gradient flows through the
+    TRANSPOSE rulebook (built lazily inside the backward pass, so eval pays
+    nothing) instead of an XLA scatter-add: df[u] = sum_k g[bwd(u,k)] @ W[k]^T.
+
+    :param bwd_builder: static callable(*bwd_args) -> (rows_b, found_b) over
+        the fwd-INPUT active set, tap k paired with weight tap k.
+    """
+    from .pallas.gather_gemm import _dw_any, _gm_any
+    cin = level.features.shape[-1]
+    feats = level.features
+    if compute_dtype is not None:
+        feats = feats.astype(compute_dtype)
+        weights = weights.astype(compute_dtype)
+    n_in = feats.shape[0]
+    n_out = rows.shape[0]
+    rules = jnp.where(found, rows, n_in)
+    feats_padded = jnp.concatenate(
+        [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
+
+    @jax.custom_vjp
+    def apply(fp, w, r, *ba):
+        return _gm_any(fp, r, w)
+
+    def fwd(fp, w, r, *ba):
+        return _gm_any(fp, r, w), (fp, w, r) + tuple(ba)
+
+    def bwd(res, g):
+        fp, w, r = res[:3]
+        ba = res[3:]
+        rows_b, found_b = bwd_builder(*ba)
+        bwd_rules = jnp.where(found_b, rows_b, n_out)
+        g_c = g.astype(fp.dtype)
+        g_p = jnp.concatenate(
+            [g_c, jnp.zeros((1, g.shape[1]), g_c.dtype)], axis=0)
+        w_t = jnp.transpose(w, (0, 2, 1)).astype(fp.dtype)
+        df = _gm_any(g_p, bwd_rules, w_t).astype(fp.dtype)
+        df = jnp.concatenate([df, jnp.zeros((1, fp.shape[1]), fp.dtype)],
+                             axis=0)
+        dw = _dw_any(fp, r, g_c).astype(w.dtype)
+        return (df, dw, None) + tuple(None for _ in ba)
+
+    apply.defvjp(fwd, bwd)
+    out = apply(feats_padded, weights, rules, *bwd_args)
+    return out * out_mask[:, None].astype(out.dtype)
+
+
+def subm_conv3d(level: SparseLevel, weights, kernel=3, compute_dtype=None):
     """Submanifold conv: output sites == input sites (spconv SubMConv3d)."""
     kernel = _triple(kernel)
     pad = tuple(-(kk // 2) for kk in kernel)
     rows, found = _rules_affine(level, level.coords, level.mask,
                                 level.coords, kernel, pad)
-    feats = _apply_rules(level, level.mask, rows, found, weights)
+    mirror = all(kk % 2 == 1 for kk in kernel)
+    feats = _apply_rules(level, level.mask, rows, found, weights,
+                         compute_dtype, mirror=mirror)
     return level._replace(features=feats)
 
 
@@ -405,7 +477,7 @@ def _strided_out_set(level: SparseLevel, kernel, stride, padding, out_cap):
 
 
 def sparse_conv3d(level: SparseLevel, weights, kernel=3, stride=2, padding=1,
-                  out_cap=None):
+                  out_cap=None, compute_dtype=None):
     """Strided sparse conv (spconv SparseConv3d): output active set = every
     output position whose receptive field touches an active input."""
     kernel = _triple(kernel)
@@ -419,13 +491,32 @@ def sparse_conv3d(level: SparseLevel, weights, kernel=3, stride=2, padding=1,
         level, out_coords, out_mask,
         out_coords * jnp.asarray(stride, jnp.int32), kernel,
         tuple(-p for p in padding))
-    feats = _apply_rules(level, out_mask, rows, found, weights)
+
+    def bwd_builder(o_ids, in_coords, in_mask):
+        # transpose rulebook: for input u the contributing outputs sit at
+        # v = (u + pad - o_t) / s — the INVERSE-conv geometry
+        tbl = SparseLevel(jnp.zeros((o_ids.shape[0], 0)), o_ids,
+                          jnp.zeros((o_ids.shape[0], 3), jnp.int32),
+                          o_ids < INT_MAX, out_shape)
+        s_arr = jnp.asarray(stride, jnp.int32)
+        p_arr = jnp.asarray(padding, jnp.int32)
+
+        def in_pos(u_coords, tap):
+            num = u_coords + p_arr - jnp.asarray(tap, jnp.int32)
+            ok = (num % s_arr == 0).all(-1) & (num >= 0).all(-1)
+            return num // s_arr, ok
+
+        return _rules_generic(tbl, in_coords, in_mask, in_pos, kernel)
+
+    feats = _apply_rules_transpose_bwd(
+        level, out_mask, rows, found, weights, compute_dtype,
+        bwd_builder, (out_ids, level.coords, level.mask))
     return SparseLevel(features=feats, ids=out_ids, coords=out_coords,
                        mask=out_mask, shape=out_shape)
 
 
 def inverse_conv3d(level: SparseLevel, target: SparseLevel, weights,
-                   kernel=3, stride=2, padding=1):
+                   kernel=3, stride=2, padding=1, compute_dtype=None):
     """Inverse (up) conv onto a stashed finer level's active set — the
     spconv SparseInverseConv3d / indice-key-reuse equivalent.
 
@@ -447,7 +538,20 @@ def inverse_conv3d(level: SparseLevel, target: SparseLevel, weights,
 
     rows, found = _rules_generic(level, target.coords, target.mask, in_pos,
                                  kernel)
-    feats = _apply_rules(level, target.mask, rows, found, weights)
+
+    def bwd_builder(t_ids, in_coords, in_mask):
+        # transpose rulebook: for coarse input u the contributing fine
+        # outputs sit at v = u*s - pad + o_t — AFFINE geometry
+        tbl = SparseLevel(jnp.zeros((t_ids.shape[0], 0)), t_ids,
+                          jnp.zeros((t_ids.shape[0], 3), jnp.int32),
+                          t_ids < INT_MAX, target.shape)
+        return _rules_affine(tbl, in_coords, in_mask,
+                             in_coords * jnp.asarray(stride, jnp.int32),
+                             kernel, tuple(-pp for pp in padding))
+
+    feats = _apply_rules_transpose_bwd(
+        level, target.mask, rows, found, weights, compute_dtype,
+        bwd_builder, (target.ids, level.coords, level.mask))
     return SparseLevel(features=feats, ids=target.ids, coords=target.coords,
                        mask=target.mask, shape=target.shape)
 
@@ -513,24 +617,26 @@ def conv_out_shape(in_shape, kernel, stride, padding):
                  for i in range(3))
 
 
-def subm_conv3d_batched(level, weights, kernel=3):
-    return _vmap_level_op(lambda lv: subm_conv3d(lv, weights, kernel),
-                          level.shape, level)
+def subm_conv3d_batched(level, weights, kernel=3, compute_dtype=None):
+    return _vmap_level_op(
+        lambda lv: subm_conv3d(lv, weights, kernel, compute_dtype),
+        level.shape, level)
 
 
 def sparse_conv3d_batched(level, weights, kernel=3, stride=2, padding=1,
-                          out_cap=None):
+                          out_cap=None, compute_dtype=None):
     out_shape = conv_out_shape(level.shape, kernel, stride, padding)
     return _vmap_level_op(
         lambda lv: sparse_conv3d(lv, weights, kernel, stride, padding,
-                                 out_cap), out_shape, level)
+                                 out_cap, compute_dtype), out_shape, level)
 
 
 def inverse_conv3d_batched(level, target, weights, kernel=3, stride=2,
-                           padding=1):
+                           padding=1, compute_dtype=None):
     return _vmap_level_op(
         lambda lv, tg: inverse_conv3d(lv, tg, weights, kernel, stride,
-                                      padding), target.shape, level, target)
+                                      padding, compute_dtype),
+        target.shape, level, target)
 
 
 def sparse_maxpool3d_batched(level, kernel=3, stride=2, padding=1,
