@@ -2,7 +2,8 @@ from .dataset import DatasetTemplate, collate_batch  # noqa: F401
 
 
 def build_dataloader(cfg, batch_size, dist=False, training=True,
-                     logger=None, num_workers=4, host_id=0, num_hosts=1):
+                     logger=None, num_workers=4, host_id=0, num_hosts=1,
+                     seed=0):
     """Dataset + prefetching loader factory.
 
     Mirrors reference pcdet/datasets/__init__.py:16-33; per-host sharding
@@ -22,5 +23,5 @@ def build_dataloader(cfg, batch_size, dist=False, training=True,
     loader = DataLoader(dataset, batch_size=batch_size,
                         shuffle=training, num_workers=num_workers,
                         host_id=host_id, num_hosts=num_hosts,
-                        drop_last=training)
+                        drop_last=training, seed=seed)
     return dataset, loader

@@ -149,7 +149,7 @@ def points_transform_(points, centers, point_masks, loc_transform,
 
 def noise_per_object_v3_(gt_boxes, points=None, valid_mask=None,
                          rotation_perturb=np.pi / 4, center_noise_std=1.0,
-                         num_try=100):
+                         num_try=100, rng=np.random):
     """Independently perturb each GT box (+its points) with collision retry.
 
     (reference noise_per_object_v3_:236-280)
@@ -165,10 +165,10 @@ def noise_per_object_v3_(gt_boxes, points=None, valid_mask=None,
         valid_mask = np.ones((num_boxes,), dtype=np.bool_)
     center_noise_std = np.array(center_noise_std, dtype=gt_boxes.dtype)
 
-    loc_noises = np.random.normal(scale=center_noise_std,
-                                  size=[num_boxes, num_try, 3])
-    rot_noises = np.random.uniform(rotation_perturb[0], rotation_perturb[1],
-                                   size=[num_boxes, num_try])
+    loc_noises = rng.normal(scale=center_noise_std,
+                            size=[num_boxes, num_try, 3])
+    rot_noises = rng.uniform(rotation_perturb[0], rotation_perturb[1],
+                             size=[num_boxes, num_try])
 
     selected = noise_per_box(gt_boxes[:, [0, 1, 3, 4, 6]], valid_mask,
                              loc_noises, rot_noises)
@@ -190,9 +190,9 @@ def noise_per_object_v3_(gt_boxes, points=None, valid_mask=None,
     return gt_boxes, points
 
 
-def random_flip(gt_boxes, points, probability=0.5):
-    enable = np.random.choice([False, True], replace=False,
-                              p=[1 - probability, probability])
+def random_flip(gt_boxes, points, probability=0.5, rng=np.random):
+    enable = rng.choice([False, True], replace=False,
+                        p=[1 - probability, probability])
     if enable:
         gt_boxes[:, 1] = -gt_boxes[:, 1]
         gt_boxes[:, 6] = -gt_boxes[:, 6] + np.pi
@@ -200,20 +200,21 @@ def random_flip(gt_boxes, points, probability=0.5):
     return gt_boxes, points
 
 
-def global_rotation(gt_boxes, points, rotation=np.pi / 4):
+def global_rotation(gt_boxes, points, rotation=np.pi / 4, rng=np.random):
     if not isinstance(rotation, list):
         rotation = [-rotation, rotation]
-    noise_rotation = np.random.uniform(rotation[0], rotation[1])
+    noise_rotation = rng.uniform(rotation[0], rotation[1])
     points = common.rotate_pc_along_z(points, noise_rotation)
     gt_boxes = common.rotate_pc_along_z(gt_boxes, noise_rotation)
     gt_boxes[:, 6] += noise_rotation
     return gt_boxes, points
 
 
-def global_scaling(gt_boxes, points, min_scale=0.95, max_scale=1.05):
+def global_scaling(gt_boxes, points, min_scale=0.95, max_scale=1.05,
+                   rng=np.random):
     if max_scale - min_scale < 1e-3:
         return gt_boxes, points
-    noise_scale = np.random.uniform(min_scale, max_scale)
+    noise_scale = rng.uniform(min_scale, max_scale)
     points[:, :3] *= noise_scale
     gt_boxes[:, :6] *= noise_scale
     return gt_boxes, points

@@ -30,7 +30,14 @@ class BatchSampler:
             np.random.shuffle(self._indices)
         self._idx = 0
 
-    def sample(self, num):
+    def sample(self, num, rng=None):
+        if rng is not None:
+            # stateless deterministic draw (per-sample rng): statistically
+            # equivalent to the shuffled-cycle; required because the cycle's
+            # shared state is thread-order dependent under a worker pool
+            n = len(self._sampled_list)
+            idx = rng.choice(n, size=min(num, n), replace=num > n)
+            return [self._sampled_list[i] for i in idx]
         if self._idx + num >= self._example_num:
             ret = self._indices[self._idx:].copy()
             self._reset()
@@ -92,7 +99,7 @@ class DataBaseSampler:
 
     # -------------------------------------------------------------- sampling
     def sample_all(self, root_path, gt_boxes, gt_names, num_point_features=4,
-                   road_planes=None, calib=None):
+                   road_planes=None, calib=None, rng=None):
         sample_num_per_class = []
         for class_name, max_num in zip(self.sample_classes,
                                        self.sample_max_nums):
@@ -107,7 +114,7 @@ class DataBaseSampler:
         for class_name, num in zip(self.sample_classes, sample_num_per_class):
             if num > 0:
                 sampled_cls = self.sample_class_v2(class_name, num,
-                                                   avoid_coll_boxes)
+                                                   avoid_coll_boxes, rng=rng)
                 sampled += sampled_cls
                 if sampled_cls:
                     boxes = np.stack([s['box3d_lidar'] for s in sampled_cls],
@@ -156,10 +163,10 @@ class DataBaseSampler:
                                    gt_boxes.shape[0] + len(sampled)),
         }
 
-    def sample_class_v2(self, name, num, gt_boxes):
+    def sample_class_v2(self, name, num, gt_boxes, rng=None):
         """Sample `num` db objects, reject those colliding in BEV with the
         scene or with previously-accepted samples (greedy, in order)."""
-        sampled = copy.deepcopy(self.sampler_dict[name].sample(num))
+        sampled = copy.deepcopy(self.sampler_dict[name].sample(num, rng=rng))
         num_gt = gt_boxes.shape[0]
         num_sampled = len(sampled)
 

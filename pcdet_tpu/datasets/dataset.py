@@ -53,12 +53,31 @@ class DatasetTemplate:
         return None
 
     # ------------------------------------------------------------------
-    def prepare_data(self, input_dict, has_label=True):
+    def set_sample_seed(self, base_seed, epoch):
+        """Deterministic per-sample RNG (reference worker_init/per-worker
+        seed equivalent): each sample's augmentation stream is a pure
+        function of (base_seed, epoch, index), independent of worker count
+        or thread arrival order."""
+        self._base_seed = int(base_seed)
+        self._epoch = int(epoch)
+
+    def sample_rng(self, index):
+        base = getattr(self, '_base_seed', None)
+        if base is None:
+            return np.random
+        mix = (base * 1000003 + getattr(self, '_epoch', 0)) * 7919 + int(index)
+        return np.random.RandomState(mix % (2 ** 31 - 1))
+
+    def prepare_data(self, input_dict, has_label=True, rng=None):
         """Per-sample pipeline: augment -> voxelize -> fixed-shape example.
 
         :param input_dict: {sample_idx, points (N, C), calib?,
                             gt_boxes_lidar (M, 7)?, gt_names (M,)?}
+        :param rng: optional np.random.RandomState for ALL augmentation
+            randomness (see set_sample_seed); defaults to the global stream.
         """
+        if rng is None:
+            rng = np.random
         cfg = self.cfg
         data_cfg = cfg.DATA_CONFIG
         sample_idx = input_dict['sample_idx']
@@ -84,7 +103,8 @@ class DatasetTemplate:
                 sampled = self.db_sampler.sample_all(
                     self.root_path, gt_boxes, gt_names, road_planes=road_planes,
                     num_point_features=data_cfg.NUM_POINT_FEATURES['total'],
-                    calib=calib)
+                    calib=calib,
+                    rng=None if rng is np.random else rng)
                 if sampled is not None:
                     gt_names = np.concatenate([gt_names, sampled['gt_names']])
                     gt_boxes = np.concatenate([gt_boxes, sampled['gt_boxes']])
@@ -102,7 +122,7 @@ class DatasetTemplate:
                         gt_boxes, points, gt_boxes_mask,
                         rotation_perturb=npo.GT_ROT_UNIFORM_NOISE,
                         center_noise_std=npo.GT_LOC_NOISE_STD,
-                        num_try=100)
+                        num_try=100, rng=rng)
 
             gt_boxes = gt_boxes[gt_boxes_mask]
             gt_names = gt_names[gt_boxes_mask]
@@ -115,11 +135,13 @@ class DatasetTemplate:
                 ngs = aug_cfg.NOISE_GLOBAL_SCENE
                 if ngs.ENABLED:
                     gt_boxes, points = augmentation_utils.random_flip(
-                        gt_boxes, points)
+                        gt_boxes, points, rng=rng)
                     gt_boxes, points = augmentation_utils.global_rotation(
-                        gt_boxes, points, rotation=ngs.GLOBAL_ROT_UNIFORM_NOISE)
+                        gt_boxes, points, rotation=ngs.GLOBAL_ROT_UNIFORM_NOISE,
+                        rng=rng)
                     gt_boxes, points = augmentation_utils.global_scaling(
-                        gt_boxes, points, *ngs.GLOBAL_SCALING_UNIFORM_NOISE)
+                        gt_boxes, points, *ngs.GLOBAL_SCALING_UNIFORM_NOISE,
+                        rng=rng)
 
             pc_range = self.voxel_generator.point_cloud_range
             mask = box_np_ops.mask_boxes_outside_range(gt_boxes, pc_range)
@@ -131,7 +153,7 @@ class DatasetTemplate:
 
         points = points[:, :data_cfg.NUM_POINT_FEATURES['use']]
         if data_cfg[self.mode].SHUFFLE_POINTS:
-            np.random.shuffle(points)
+            rng.shuffle(points)
 
         if data_cfg.MASK_POINTS_BY_RANGE:
             points = common.mask_points_by_range(points,

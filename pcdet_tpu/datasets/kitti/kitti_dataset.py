@@ -293,7 +293,8 @@ class KittiDataset(DatasetTemplate):
             input_dict['points'] = points
 
         example = self.prepare_data(input_dict=input_dict,
-                                    has_label='annos' in info)
+                                    has_label='annos' in info,
+                                    rng=self.sample_rng(index))
         example['sample_idx'] = sample_idx
         example['image_shape'] = np.asarray(img_shape, dtype=np.int32)
         return example

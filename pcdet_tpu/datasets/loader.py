@@ -55,6 +55,10 @@ class DataLoader:
         return (per_host + self.batch_size - 1) // self.batch_size
 
     def __iter__(self):
+        if hasattr(self.dataset, 'set_sample_seed'):
+            # per-sample deterministic augmentation streams (independent of
+            # worker count / thread arrival order)
+            self.dataset.set_sample_seed(self.seed, self.epoch)
         indices = self._epoch_indices()
         batches = [indices[i:i + self.batch_size]
                    for i in range(0, len(indices), self.batch_size)]

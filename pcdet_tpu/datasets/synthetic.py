@@ -143,7 +143,8 @@ class SyntheticDataset(DatasetTemplate):
         }
 
     def __getitem__(self, index):
-        return self.prepare_data(self.get_raw(index), has_label=True)
+        return self.prepare_data(self.get_raw(index), has_label=True,
+                                 rng=self.sample_rng(index))
 
     # ------------------------------------------------------------------
     # Eval glue: map lidar boxes into a pseudo camera frame

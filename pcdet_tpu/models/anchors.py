@@ -184,6 +184,17 @@ class TargetAssigner:
             if 'near_bbox' not in anchor_dict:
                 anchor_dict['near_bbox'] = box_np_ops.rbbox2d_to_near_bbox(
                     flat_anchors[:, [0, 1, 3, 4, 6]])
+            if 'grid' not in anchor_dict:
+                # the per-class anchor grid is REGULAR: (1, ny, nx, nloc, 7)
+                # with y/x centers on linspaces — stash what the candidate-
+                # window fast path needs (see create_target_np)
+                a = anchor_dict['anchors']
+                anchor_dict['grid'] = {
+                    'yc': np.ascontiguousarray(a[0, :, 0, 0, 1]),
+                    'xc': np.ascontiguousarray(a[0, 0, :, 0, 0]),
+                    'nloc': int(a.shape[3]),
+                    'half_extent': float(np.max(a[0, 0, 0, :, 3:5]) / 2.0),
+                }
             targets = self.create_target_np(
                 flat_anchors,
                 gt_boxes[mask],
@@ -194,6 +205,7 @@ class TargetAssigner:
                 rpn_batch_size=self.sample_size,
                 box_code_size=self.box_coder.code_size,
                 anchors_near_bbox=anchor_dict['near_bbox'],
+                grid=anchor_dict['grid'],
             )
             targets_list.append(targets)
             feature_map_size = anchor_dict['anchors'].shape[:3]
@@ -219,10 +231,33 @@ class TargetAssigner:
             'bbox_outside_weights': bbox_outside_weights,
         }
 
+    @staticmethod
+    def _candidate_idx(grid, gt_boxes):
+        """Flat indices of all anchors whose near-bbox can overlap some GT's
+        near-bbox: anchors live on a regular (ny, nx, nloc) grid, so each GT
+        contributes one index-window rectangle.  All other anchors have
+        overlap exactly 0 (background).  Cuts the per-sample (A, M) IoU from
+        the full 100k+ anchors to a few thousand (~10x assignment speedup).
+        """
+        yc, xc, nloc = grid['yc'], grid['xc'], grid['nloc']
+        me = grid['half_extent'] + 1e-4
+        gt_near = box_np_ops.rbbox2d_to_near_bbox(gt_boxes[:, [0, 1, 3, 4, 6]])
+        ix_lo = np.searchsorted(xc, gt_near[:, 0] - me, side='left')
+        ix_hi = np.searchsorted(xc, gt_near[:, 2] + me, side='right')
+        iy_lo = np.searchsorted(yc, gt_near[:, 1] - me, side='left')
+        iy_hi = np.searchsorted(yc, gt_near[:, 3] + me, side='right')
+        cells = np.zeros((len(yc), len(xc)), dtype=bool)
+        for m in range(len(gt_near)):
+            cells[iy_lo[m]:iy_hi[m], ix_lo[m]:ix_hi[m]] = True
+        flat_cells = np.flatnonzero(cells.ravel())
+        return (flat_cells[:, None] * nloc
+                + np.arange(nloc)[None, :]).reshape(-1)
+
     def create_target_np(self, all_anchors, gt_boxes, gt_classes=None,
                          matched_threshold=0.6, unmatched_threshold=0.45,
                          positive_fraction=None, rpn_batch_size=300,
-                         box_code_size=7, rng=None, anchors_near_bbox=None):
+                         box_code_size=7, rng=None, anchors_near_bbox=None,
+                         grid=None):
         """Single-class anchor target creation.
 
         Matching rules (reference create_target_np:449-643):
@@ -230,6 +265,10 @@ class TargetAssigner:
           - positives: anchor_to_gt_max >= matched_threshold
           - negatives: anchor_to_gt_max < unmatched_threshold
           - remaining anchors are don't-care (-1)
+
+        With `grid` (regular anchor-grid metadata) the (A, M) similarity runs
+        only on the candidate window around the GTs — bit-identical outputs
+        (tests/test_anchor_fast_path.py fuzzes the equivalence).
         """
         num_inside = all_anchors.shape[0]
         if gt_classes is None:
@@ -242,7 +281,36 @@ class TargetAssigner:
 
         anchors_with_max_overlap = gt_inds_force = None
         anchor_to_gt_argmax = anchor_to_gt_max = None
-        if len(gt_boxes) > 0 and num_inside > 0:
+        if (len(gt_boxes) > 0 and num_inside > 0 and grid is not None
+                and len(cand := self._candidate_idx(grid, gt_boxes)) == 0):
+            # every GT window falls outside the anchor grid: all background
+            anchors_with_max_overlap = np.zeros(0, np.int64)
+            gt_inds_force = np.zeros(0, np.int64)
+            anchor_to_gt_argmax = np.zeros(num_inside, dtype=np.int64)
+            bg_inds = np.arange(num_inside)
+        elif len(gt_boxes) > 0 and num_inside > 0 and grid is not None:
+            nb = (anchors_near_bbox[cand]
+                  if anchors_near_bbox is not None else None)
+            overlap = self._similarity(all_anchors[cand], gt_boxes, nb)
+            a2g_argmax_c = overlap.argmax(axis=1)
+            a2g_max_c = overlap[np.arange(len(cand)), a2g_argmax_c]
+            gt_to_anchor_max = overlap.max(axis=0)
+            gt_to_anchor_max[gt_to_anchor_max == 0] = -1
+            forced_rows = np.where(overlap == gt_to_anchor_max)[0]
+            anchors_with_max_overlap = cand[forced_rows]
+            gt_inds_force = a2g_argmax_c[forced_rows]
+            labels[anchors_with_max_overlap] = gt_classes[gt_inds_force]
+            gt_ids[anchors_with_max_overlap] = gt_inds_force
+            pos_c = a2g_max_c >= matched_threshold[cand]
+            labels[cand[pos_c]] = gt_classes[a2g_argmax_c[pos_c]]
+            gt_ids[cand[pos_c]] = a2g_argmax_c[pos_c]
+            bg_mask = np.ones(num_inside, dtype=bool)
+            bg_mask[cand[a2g_max_c >= unmatched_threshold[cand]]] = False
+            bg_inds = np.flatnonzero(bg_mask)
+            # full-size argmax view for the bbox-target encode below
+            anchor_to_gt_argmax = np.zeros(num_inside, dtype=np.int64)
+            anchor_to_gt_argmax[cand] = a2g_argmax_c
+        elif len(gt_boxes) > 0 and num_inside > 0:
             overlap = self._similarity(all_anchors, gt_boxes,
                                        anchors_near_bbox)           # (A, M)
             anchor_to_gt_argmax = overlap.argmax(axis=1)

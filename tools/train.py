@@ -101,7 +101,8 @@ def main():
 
     dataset, train_loader = build_dataloader(
         cfg, per_host_batch, training=True, logger=logger,
-        num_workers=args.workers, host_id=host_id, num_hosts=num_hosts)
+        num_workers=args.workers, host_id=host_id, num_hosts=num_hosts,
+        seed=666 if args.fix_random_seed else 0)
 
     model = build_network(cfg, dataset.grid_size)
     if hasattr(model, 'anchor_targets'):
