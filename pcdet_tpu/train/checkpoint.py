@@ -49,7 +49,11 @@ def save_checkpoint(state: TrainState, ckpt_dir, epoch,
 
 
 def list_checkpoints(ckpt_dir):
-    ckpts = glob.glob(os.path.join(ckpt_dir, 'checkpoint_epoch_*'))
+    # a killed run leaves `*.orbax-checkpoint-tmp` dirs: incomplete, must
+    # never be resumed from (reference tolerates in-flight writes by
+    # sleeping, tools/test.py watcher; here we just exclude them)
+    ckpts = [p for p in glob.glob(os.path.join(ckpt_dir, 'checkpoint_epoch_*'))
+             if not p.endswith('.orbax-checkpoint-tmp')]
     ckpts.sort(key=os.path.getmtime)
     return ckpts
 

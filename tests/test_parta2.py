@@ -54,6 +54,7 @@ def test_forward_train_and_loss(setup):
         assert np.isfinite(float(tb[k])), k
 
 
+@pytest.mark.slow  # ~5 min of XLA CPU compile for the full 2-stage backward
 def test_gradients(setup):
     import jax
     import jax.numpy as jnp

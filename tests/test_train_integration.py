@@ -87,3 +87,13 @@ def test_loader_sharding_and_epochs():
     l0.set_epoch(4)
     ids0b = [i for b in l0 for i in b['sample_idx'].tolist()]
     assert sorted(ids0b) != sorted(ids0) or ids0b != ids0
+
+
+def test_incomplete_ckpt_not_resumed(tmp_path):
+    """A killed run leaves `*.orbax-checkpoint-tmp`; resume must skip it."""
+    import os
+    from pcdet_tpu.train.checkpoint import latest_checkpoint, list_checkpoints
+    os.makedirs(tmp_path / 'checkpoint_epoch_2')
+    os.makedirs(tmp_path / 'checkpoint_epoch_4.orbax-checkpoint-tmp')
+    assert list_checkpoints(str(tmp_path)) == [str(tmp_path / 'checkpoint_epoch_2')]
+    assert latest_checkpoint(str(tmp_path)).endswith('checkpoint_epoch_2')
