@@ -3,7 +3,7 @@ from .dataset import DatasetTemplate, collate_batch  # noqa: F401
 
 def build_dataloader(cfg, batch_size, dist=False, training=True,
                      logger=None, num_workers=4, host_id=0, num_hosts=1,
-                     seed=0):
+                     seed=0, worker_mode='thread'):
     """Dataset + prefetching loader factory.
 
     Mirrors reference pcdet/datasets/__init__.py:16-33; per-host sharding
@@ -23,5 +23,6 @@ def build_dataloader(cfg, batch_size, dist=False, training=True,
     loader = DataLoader(dataset, batch_size=batch_size,
                         shuffle=training, num_workers=num_workers,
                         host_id=host_id, num_hosts=num_hosts,
-                        drop_last=training, seed=seed)
+                        drop_last=training, seed=seed,
+                        worker_mode=worker_mode)
     return dataset, loader

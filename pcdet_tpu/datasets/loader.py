@@ -1,28 +1,49 @@
 """Prefetching data loader (host-side, JAX-free workers).
 
 Replaces torch DataLoader + DistributedSampler in the reference runtime: a
-thread pool maps `dataset[i]` over shuffled per-host index shards and a
+worker pool maps `dataset[i]` over shuffled per-host index shards and a
 bounded queue keeps `prefetch` collated batches ready ahead of device step
 time (BASELINE north star: host augmentation streamed ahead of step time).
-Threads suffice because the pipeline is numpy-dominated (releases the GIL);
+
+Two worker modes (`worker_mode`):
+  - 'thread' (default): cheapest; fine because the pipeline is numpy-
+    dominated (releases the GIL), and what the test-suite exercises.
+  - 'process': fork-based pool for real TPU hosts (~100 cores) where the
+    GIL-bound python segments (dbsampler loops, per-box part targets)
+    would otherwise serialize.  Batches are bit-identical across modes and
+    worker counts because augmentation RNG is keyed on (seed, epoch,
+    index), not worker state (tests/test_loader_determinism.py).
+
 `num_workers=0` gives a fully synchronous loader for tests.
 """
+import multiprocessing
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
 
 from .dataset import collate_batch
 
+# fork-inherited state for 'process' workers: set in the parent immediately
+# before the pool is created; children see it via copy-on-write (zero
+# per-task dataset pickling)
+_WORKER_DATASET = None
+
+
+def _worker_get(index):
+    return _WORKER_DATASET[index]
+
 
 class DataLoader:
     def __init__(self, dataset, batch_size, shuffle=True, num_workers=4,
-                 seed=0, host_id=0, num_hosts=1, drop_last=True, prefetch=4):
+                 seed=0, host_id=0, num_hosts=1, drop_last=True, prefetch=4,
+                 worker_mode='thread'):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = num_workers
+        self.worker_mode = worker_mode
         self.seed = seed
         self.host_id = host_id
         self.num_hosts = num_hosts
@@ -77,16 +98,24 @@ class _PrefetchIterator:
         self.loader = loader
         self.batches = batches
         self.q = queue.Queue(maxsize=loader.prefetch)
-        self.pool = ThreadPoolExecutor(max_workers=loader.num_workers)
+        if loader.worker_mode == 'process':
+            global _WORKER_DATASET
+            _WORKER_DATASET = loader.dataset  # fork inherits (epoch seed too)
+            self.pool = ProcessPoolExecutor(
+                max_workers=loader.num_workers,
+                mp_context=multiprocessing.get_context('fork'))
+            self._get = _worker_get
+        else:
+            self.pool = ThreadPoolExecutor(max_workers=loader.num_workers)
+            self._get = loader.dataset.__getitem__
         self.done = object()
         self.thread = threading.Thread(target=self._producer, daemon=True)
         self.thread.start()
 
     def _producer(self):
         try:
-            ds = self.loader.dataset
             for b in self.batches:
-                examples = list(self.pool.map(ds.__getitem__, b))
+                examples = list(self.pool.map(self._get, b))
                 self.q.put(collate_batch(examples))
         except Exception as e:  # surface worker errors to the consumer
             self.q.put(e)

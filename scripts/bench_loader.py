@@ -44,16 +44,20 @@ def main():
     print('scan points: %d' % n_pts)
     _ = ds[0]  # warm caches (anchor near-bbox cache, native libs)
 
-    for workers in [0, 1, 2, 4, 8]:
-        loader = DataLoader(ds, batch_size=args.batch_size, shuffle=True,
-                            num_workers=workers, seed=0, prefetch=8)
-        t0 = time.perf_counter()
-        n = 0
-        for batch in loader:
-            n += len(batch['voxel_mask'])
-        dt = time.perf_counter() - t0
-        print('workers=%d: %.1f samples/s (%d samples in %.2fs)'
-              % (workers, n / dt, n, dt), flush=True)
+    for mode in ['thread', 'process']:
+        for workers in [0, 1, 2, 4, 8]:
+            if workers == 0 and mode == 'process':
+                continue
+            loader = DataLoader(ds, batch_size=args.batch_size, shuffle=True,
+                                num_workers=workers, seed=0, prefetch=8,
+                                worker_mode=mode)
+            t0 = time.perf_counter()
+            n = 0
+            for batch in loader:
+                n += len(batch['voxel_mask'])
+            dt = time.perf_counter() - t0
+            print('%s workers=%d: %.1f samples/s (%d samples in %.2fs)'
+                  % (mode, workers, n / dt, n, dt), flush=True)
 
 
 if __name__ == '__main__':

@@ -141,8 +141,14 @@ def main():
     if 'pointpillar' in want:
         run(bench_train, 'pointpillar', 'pointpillar.yaml', batch_size=4)
 
-    with open(ROOT / 'BENCH_MODELS.json', 'w') as f:
-        json.dump(results, f, indent=1)
+    # merge over prior results so partial runs don't drop other models
+    out_path = ROOT / 'BENCH_MODELS.json'
+    merged = {}
+    if out_path.exists():
+        merged = {r['metric']: r for r in json.loads(out_path.read_text())}
+    merged.update({r['metric']: r for r in results})
+    with open(out_path, 'w') as f:
+        json.dump(list(merged.values()), f, indent=1)
 
 
 if __name__ == '__main__':

@@ -11,7 +11,7 @@ import numpy as np
 from tiny_config import tiny_pointpillar_cfg
 
 
-def _hash_batches(num_workers, seed=7, epochs=(0, 1)):
+def _hash_batches(num_workers, seed=7, epochs=(0, 1), worker_mode='thread'):
     from pcdet_tpu.datasets.loader import DataLoader
     from pcdet_tpu.datasets.synthetic import SyntheticDataset
     from pcdet_tpu.models.pointpillar import PointPillar
@@ -21,7 +21,8 @@ def _hash_batches(num_workers, seed=7, epochs=(0, 1)):
     model = PointPillar(cfg, ds.grid_size)
     ds.set_anchor_targets(model.anchor_targets)
     loader = DataLoader(ds, batch_size=4, shuffle=True,
-                        num_workers=num_workers, seed=seed)
+                        num_workers=num_workers, seed=seed,
+                        worker_mode=worker_mode)
     digests = []
     for epoch in epochs:
         loader.set_epoch(epoch)
@@ -44,6 +45,11 @@ def test_worker_count_invariant():
     """0, 1 and 3 workers must produce bit-identical batches (thread
     arrival order must not leak into augmentation randomness)."""
     assert _hash_batches(0) == _hash_batches(1) == _hash_batches(3)
+
+
+def test_process_mode_identical():
+    """The fork-pool mode must produce the same bits as thread/sync mode."""
+    assert _hash_batches(2, worker_mode='process') == _hash_batches(0)
 
 
 def test_epochs_and_seeds_differ():

@@ -25,6 +25,11 @@ def parse_config():
                         help='global batch size (split over devices)')
     parser.add_argument('--epochs', type=int, default=80)
     parser.add_argument('--workers', type=int, default=4)
+    parser.add_argument('--worker_mode', choices=['thread', 'process'],
+                        default='thread',
+                        help='process = fork pool; scales past the GIL on '
+                             'many-core TPU hosts (batches are bit-identical '
+                             'across modes)')
     parser.add_argument('--extra_tag', type=str, default='default')
     parser.add_argument('--ckpt', type=str, default=None)
     parser.add_argument('--pretrained_model', type=str, default=None)
@@ -102,7 +107,8 @@ def main():
     dataset, train_loader = build_dataloader(
         cfg, per_host_batch, training=True, logger=logger,
         num_workers=args.workers, host_id=host_id, num_hosts=num_hosts,
-        seed=666 if args.fix_random_seed else 0)
+        seed=666 if args.fix_random_seed else 0,
+        worker_mode=args.worker_mode)
 
     model = build_network(cfg, dataset.grid_size)
     if hasattr(model, 'anchor_targets'):
