@@ -190,6 +190,49 @@ class SparseBasicBlock(nn.Module):
         return out._replace(features=f)
 
 
+class SparseBottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 residual bottleneck over subm convs, expansion 4
+    (reference resnet_utils.py:51-86; unused by the shipped models but part
+    of the block library)."""
+    planes: int
+    expansion: int = 4
+    compute_dtype: str = ''
+
+    @nn.compact
+    def __call__(self, level, train: bool):
+        cd = jnp.bfloat16 if self.compute_dtype == 'bfloat16' else None
+        cin = level.features.shape[-1]
+        identity = level.features
+        out = level
+        for i, (kernel, cout) in enumerate([
+                ((1, 1, 1), self.planes),
+                ((3, 3, 3), self.planes),
+                ((1, 1, 1), self.planes * self.expansion)]):
+            k = self.param('kernel%d' % (i + 1),
+                           torch_uniform_init(out.features.shape[-1]
+                                              * np.prod(kernel)),
+                           (int(np.prod(kernel)), out.features.shape[-1],
+                            cout))
+            out = sparse.subm_conv3d_batched(out, k, kernel=kernel,
+                                             compute_dtype=cd)
+            f = TorchBatchNorm(cout, name='bn%d' % (i + 1))(
+                out.features, train, mask=out.mask)
+            if i < 2:
+                f = jax.nn.relu(f)
+            out = out._replace(features=f * out.mask[..., None].astype(f.dtype))
+        if cin != self.planes * self.expansion:
+            kd = self.param('kernel_down',
+                            torch_uniform_init(cin),
+                            (1, cin, self.planes * self.expansion))
+            down = sparse.subm_conv3d_batched(level, kd, kernel=(1, 1, 1),
+                                              compute_dtype=cd)
+            identity = TorchBatchNorm(self.planes * self.expansion,
+                                      name='bn_down')(down.features, train,
+                                                      mask=down.mask)
+        f = jax.nn.relu(out.features + identity)
+        return out._replace(features=f * out.mask[..., None].astype(f.dtype))
+
+
 class UNetV2(nn.Module):
     """Part-A² sparse UNet: BackBone8x-style encoder + inverse-conv decoder
     with lateral residual fusion + per-voxel seg/part heads

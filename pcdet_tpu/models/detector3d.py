@@ -49,7 +49,7 @@ def decode_single_stage(ret_dict, anchors, box_coder: ResidualCoder,
 
 def post_process_sample(cls_preds, box_preds, score_thresh, nms_thresh,
                         nms_pre, nms_post, use_raw_score=True,
-                        class_labels_override=None):
+                        class_labels_override=None, rotated=True):
     """Class-agnostic NMS for one sample, fixed shape.
 
     :param cls_preds: (A, C) logits (background already excluded)
@@ -71,7 +71,7 @@ def post_process_sample(cls_preds, box_preds, score_thresh, nms_thresh,
     boxes5 = jnp_common.boxes3d_to_bev_corner_format(box_preds)
     selected, num = nms_ops.nms_bev(boxes5, rank_scores, nms_thresh,
                                     pre_max=nms_pre, post_max=nms_post,
-                                    valid_mask=valid)
+                                    valid_mask=valid, rotated=rotated)
     sel_valid = selected >= 0
     sel_safe = jnp.where(sel_valid, selected, 0)
     final_boxes = box_preds[sel_safe] * sel_valid[:, None].astype(box_preds.dtype)
@@ -89,7 +89,8 @@ def post_process_sample(cls_preds, box_preds, score_thresh, nms_thresh,
 
 
 def multi_classes_nms_sample(cls_preds, box_preds, score_thresh, nms_thresh,
-                             nms_pre, nms_post, use_raw_score=True):
+                             nms_pre, nms_post, use_raw_score=True,
+                             rotated=True):
     """Per-class rotated NMS (reference detector3d.multi_classes_nms:238-276),
     fixed shape: each class gets nms_post slots, concatenated.
 
@@ -105,7 +106,7 @@ def multi_classes_nms_sample(cls_preds, box_preds, score_thresh, nms_thresh,
         valid = normalized >= score_thresh
         selected, num = nms_ops.nms_bev(boxes5, rank_scores, nms_thresh,
                                         pre_max=nms_pre, post_max=nms_post,
-                                        valid_mask=valid)
+                                        valid_mask=valid, rotated=rotated)
         ok = selected >= 0
         sel = jnp.where(ok, selected, 0)
         outs.append({
@@ -144,6 +145,9 @@ def post_process_batch(batch_cls_preds, batch_box_preds, test_cfg,
         nms_pre=int(test_cfg.NMS_PRE_MAXSIZE_LAST),
         nms_post=int(test_cfg.NMS_POST_MAXSIZE_LAST),
         use_raw_score=bool(test_cfg.get('USE_RAW_SCORE', True)),
+        # NMS_TYPE: nms_gpu = rotated, nms_normal_gpu = axis-aligned
+        # (reference class_agnostic_nms dispatches by name into iou3d_nms_utils)
+        rotated=str(test_cfg.get('NMS_TYPE', 'nms_gpu')) != 'nms_normal_gpu',
     )
     if class_labels_override is not None:
         return jax.lax.map(

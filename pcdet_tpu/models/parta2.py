@@ -213,7 +213,9 @@ class PartA2Net:
             cls_preds, box_preds,
             nms_pre=int(mode_cfg.NMS_PRE_MAXSIZE),
             nms_post=int(mode_cfg.NMS_POST_MAXSIZE),
-            nms_thresh=float(mode_cfg.RPN_NMS_THRESH))
+            nms_thresh=float(mode_cfg.RPN_NMS_THRESH),
+            rotated=str(mode_cfg.get('RPN_NMS_TYPE',
+                                     'nms_gpu')) != 'nms_normal_gpu')
 
         targets = None
         if train:

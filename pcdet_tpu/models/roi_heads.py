@@ -34,15 +34,19 @@ BIG_NEG = -100000.0
 # ---------------------------------------------------------------------------
 
 def proposal_layer(batch_cls_preds, batch_box_preds, nms_pre, nms_post,
-                   nms_thresh):
-    """(B, A, C), (B, A, 7) -> rois (B, nms_post, 7), raw scores, labels."""
+                   nms_thresh, rotated=True):
+    """(B, A, C), (B, A, 7) -> rois (B, nms_post, 7), raw scores, labels.
+
+    `rotated=False` selects the axis-aligned path (RPN_NMS_TYPE:
+    nms_normal_gpu in the reference)."""
 
     def one(cls_preds, box_preds):
         raw_top_scores = jnp.max(cls_preds, axis=-1)
         top_labels = jnp.argmax(cls_preds, axis=-1) + 1
         boxes5 = jnp_common.boxes3d_to_bev_corner_format(box_preds)
         selected, num = nms_ops.nms_bev(boxes5, raw_top_scores, nms_thresh,
-                                        pre_max=nms_pre, post_max=nms_post)
+                                        pre_max=nms_pre, post_max=nms_post,
+                                        rotated=rotated)
         ok = selected >= 0
         sel = jnp.where(ok, selected, 0)
         rois = box_preds[sel] * ok[:, None].astype(box_preds.dtype)
