@@ -21,6 +21,8 @@ def parse_config():
     parser.add_argument('--cfg_file', type=str, required=True)
     parser.add_argument('--batch_size', type=int, default=4)
     parser.add_argument('--workers', type=int, default=4)
+    parser.add_argument('--worker_mode', choices=['thread', 'process'],
+                        default='thread')
     parser.add_argument('--extra_tag', type=str, default='default')
     parser.add_argument('--ckpt', type=str, default=None)
     parser.add_argument('--eval_all', action='store_true', default=False)
@@ -75,7 +77,7 @@ def main():
 
     dataset, dataloader = build_dataloader(
         cfg, args.batch_size, training=False, logger=logger,
-        num_workers=args.workers)
+        num_workers=args.workers, worker_mode=args.worker_mode)
     model = build_network(cfg, dataset.grid_size)
 
     from pcdet_tpu.datasets.dataset import collate_batch
