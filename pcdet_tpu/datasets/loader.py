@@ -19,7 +19,7 @@ Two worker modes (`worker_mode`):
 import multiprocessing
 import queue
 import threading
-from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -101,9 +101,11 @@ class _PrefetchIterator:
         if loader.worker_mode == 'process':
             global _WORKER_DATASET
             _WORKER_DATASET = loader.dataset  # fork inherits (epoch seed too)
-            self.pool = ProcessPoolExecutor(
-                max_workers=loader.num_workers,
-                mp_context=multiprocessing.get_context('fork'))
+            # multiprocessing.Pool, NOT ProcessPoolExecutor: Pool workers
+            # are daemonic (die with the parent even if a forked worker
+            # wedges on an inherited lock) and terminate() is public
+            self.pool = multiprocessing.get_context('fork').Pool(
+                processes=loader.num_workers)
             self._get = _worker_get
         else:
             self.pool = ThreadPoolExecutor(max_workers=loader.num_workers)
@@ -121,7 +123,10 @@ class _PrefetchIterator:
             self.q.put(e)
         finally:
             self.q.put(self.done)
-            self.pool.shutdown(wait=False)
+            if isinstance(self.pool, ThreadPoolExecutor):
+                self.pool.shutdown(wait=False)
+            else:
+                self.pool.terminate()
 
     def __iter__(self):
         return self
