@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 
 def roiaware_pool3d(rois, points, features, point_mask, out_size=14,
-                    pool_method='max', roi_chunk=None):
+                    pool_method='max', roi_chunk=None, max_pts_per_roi=None):
     """Pool per-point features into each RoI's (out, out, out) grid.
 
     :param rois: (N, 7) [x, y, z, w, l, h, rz] lidar, z bottom center
@@ -22,6 +22,13 @@ def roiaware_pool3d(rois, points, features, point_mask, out_size=14,
     :param features: (P, C)
     :param point_mask: (P,) bool — valid points
     :param pool_method: 'max' or 'avg'
+    :param max_pts_per_roi: static cap K: gather the first K in-box points
+        per roi (top-k compaction) and pool only those.  Turns the scatter
+        from N*P rows into N*K (32x at N=512, P=16k) — XLA scatters are the
+        TPU bottleneck here.  Exact whenever every roi holds <= K active
+        points (LiDAR surfaces put O(100) voxels in a car-sized box; the
+        CUDA kernel caps per-CELL at 128 pts similarly).  None = exact
+        all-pairs path.
     :return: (N, out, out, out, C) pooled features
              cell layout [x_idx, y_idx, z_idx] like the CUDA kernel
     """
@@ -29,6 +36,10 @@ def roiaware_pool3d(rois, points, features, point_mask, out_size=14,
     p = points.shape[0]
     c = features.shape[-1]
     o = out_size
+
+    if max_pts_per_roi is not None:
+        return _pool_compacted(rois, points, features, point_mask, o,
+                               pool_method, int(max_pts_per_roi))
 
     def pool_rois(rois_chunk):
         m = rois_chunk.shape[0]
@@ -76,6 +87,119 @@ def roiaware_pool3d(rois, points, features, point_mask, out_size=14,
     chunks = rois.reshape(n // roi_chunk, roi_chunk, 7)
     out = jax.lax.map(pool_rois, chunks)
     return out.reshape(n, o, o, o, c)
+
+
+def _roi_local_cells(rois, pts, o):
+    """Canonical-frame cell index + in-box test for (N, K, 3) points vs
+    their (N, 7) rois."""
+    shift = pts - rois[:, None, 0:3]                              # (N, K, 3)
+    cosa = jnp.cos(-rois[:, 6])[:, None]
+    sina = jnp.sin(-rois[:, 6])[:, None]
+    lx = shift[..., 0] * cosa + shift[..., 1] * sina
+    ly = -shift[..., 0] * sina + shift[..., 1] * cosa
+    lz = shift[..., 2]
+    w = rois[:, 3:4]
+    l = rois[:, 4:5]
+    h = rois[:, 5:6]
+    in_box = ((jnp.abs(lx) <= w / 2) & (jnp.abs(ly) <= l / 2)
+              & (lz >= 0) & (lz <= h))
+    eps = 1e-8
+    xi = jnp.clip(((lx + w / 2) / jnp.maximum(w, eps) * o), 0,
+                  o - 1).astype(jnp.int32)
+    yi = jnp.clip(((ly + l / 2) / jnp.maximum(l, eps) * o), 0,
+                  o - 1).astype(jnp.int32)
+    zi = jnp.clip((lz / jnp.maximum(h, eps) * o), 0, o - 1).astype(jnp.int32)
+    return (xi * o + yi) * o + zi, in_box
+
+
+def _pool_compacted(rois, points, features, point_mask, o, pool_method, k):
+    """Top-k compaction path (see roiaware_pool3d_multi)."""
+    (out,) = roiaware_pool3d_multi(rois, points,
+                                   [(features, pool_method)],
+                                   point_mask, out_size=o, max_pts_per_roi=k)
+    return out
+
+
+def roiaware_pool3d_multi(rois, points, feature_specs, point_mask,
+                          out_size=14, max_pts_per_roi=512):
+    """Pool SEVERAL feature sets over the same (rois, points) geometry in
+    one pass: in-box selection + per-roi sort by cell are shared, each
+    feature set gets its own segmented-scan reduction.
+
+    Pipeline (all fixed shape, no non-unique scatters — XLA TPU scatters
+    serialized at ~1 ms / 1k rows were the Part-A² bottleneck):
+      1. in-box test (N, P), first-k compaction via top_k        (~20 ms)
+      2. per-roi argsort by cell id                              (shared)
+      3. per (features, method): gather + log-depth segmented
+         associative scan (sum or max over each cell's segment)
+      4. one unique-index set per segment end into (N, o^3, C)
+
+    :param feature_specs: list of (features (P, C_i), 'avg'|'max')
+    :return: list of (N, o, o, o, C_i) pooled grids
+    """
+    n = rois.shape[0]
+    o = out_size
+    p = points.shape[0]
+    k = min(int(max_pts_per_roi), p)
+
+    # (N, P) in-box mask in the roi frame (geometry only, no feature bcast)
+    cell_all, in_box_all = _roi_local_cells(rois, points[None, :, :], o)
+    in_box_all = in_box_all & point_mask[None, :]
+
+    # first k in-box point indices per roi: top_k over descending rank
+    rank = jnp.where(in_box_all, jnp.arange(p, dtype=jnp.int32)[None, :],
+                     jnp.iinfo(jnp.int32).max)
+    topv, topi = jax.lax.top_k(-rank, k)                          # (N, k)
+    sel_valid = topv != -jnp.iinfo(jnp.int32).max
+    sel = jnp.where(sel_valid, topi, 0)                           # (N, k)
+
+    cell = jnp.take_along_axis(cell_all, sel, axis=1)             # (N, k)
+    # pads route to a sentinel cell so they sort last and never write
+    cell = jnp.where(sel_valid, cell, o ** 3)
+
+    order = jnp.argsort(cell, axis=1)                             # stable
+    cell_s = jnp.take_along_axis(cell, order, axis=1)
+    sel_s = jnp.take_along_axis(sel, order, axis=1)
+
+    new_seg = jnp.concatenate(
+        [jnp.ones((n, 1), bool), cell_s[:, 1:] != cell_s[:, :-1]], axis=1)
+    is_end = jnp.concatenate(
+        [cell_s[:, 1:] != cell_s[:, :-1], jnp.ones((n, 1), bool)], axis=1)
+    roi_idx = jnp.broadcast_to(jnp.arange(n)[:, None], cell_s.shape)
+    write = is_end & (cell_s < o ** 3)
+    flat = jnp.where(write, roi_idx * (o ** 3) + cell_s,
+                     n * o ** 3).reshape(-1)
+
+    cnt = None
+    outs = []
+    for features, pool_method in feature_specs:
+        c = features.shape[-1]
+        vals_s = features[sel_s.reshape(-1)].reshape(n, -1, c)    # (N, k, C)
+        flags = jnp.broadcast_to(new_seg[..., None], vals_s.shape)
+
+        if pool_method == 'max':
+            def op(a, b):
+                fa, va = a
+                fb, vb = b
+                return fa | fb, jnp.where(fb, vb, jnp.maximum(va, vb))
+            _, red = jax.lax.associative_scan(op, (flags, vals_s), axis=1)
+        else:
+            def op(a, b):
+                fa, va = a
+                fb, vb = b
+                return fa | fb, jnp.where(fb, vb, va + vb)
+            _, red = jax.lax.associative_scan(op, (flags, vals_s), axis=1)
+            if cnt is None:
+                ones = jnp.ones_like(vals_s[..., :1])
+                _, cnt = jax.lax.associative_scan(
+                    op, (flags[..., :1], ones), axis=1)
+            red = red / jnp.maximum(cnt, 1.0)
+
+        out = jnp.zeros((n * o ** 3, c), features.dtype)
+        out = out.at[flat].set(red.reshape(-1, c), mode='drop',
+                               unique_indices=True)
+        outs.append(out.reshape(n, o, o, o, c))
+    return outs
 
 
 def points_in_boxes_batch(points, boxes, point_mask=None):

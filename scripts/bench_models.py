@@ -32,9 +32,12 @@ os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
 import numpy as np
 
 
-def realistic_cfg(yaml_name):
+def realistic_cfg(yaml_name, compute_dtype=''):
     from pcdet_tpu.config import cfg_from_yaml_file, cfg_preprocess
     cfg = cfg_from_yaml_file(str(ROOT / 'tools/cfgs' / yaml_name))
+    if compute_dtype:
+        cfg.MODEL.RPN.BACKBONE.setdefault('ARGS', {})
+        cfg.MODEL.RPN.BACKBONE.ARGS['compute_dtype'] = compute_dtype
     cfg.DATA_CONFIG.DATASET = 'SyntheticDataset'
     # beam-structured ground (real-LiDAR ring geometry) at slightly above
     # real KITTI FOV density — realistic sparse-conv active sets
@@ -67,10 +70,11 @@ def fetch(tree):
     return float(np.asarray(jax.device_get(leaves[0])).ravel()[0])
 
 
-def bench_eval(name, cfg_yaml, batch_size=2, warmup=2, iters=10):
+def bench_eval(name, cfg_yaml, batch_size=2, warmup=2, iters=10,
+               compute_dtype=''):
     import jax
     from pcdet_tpu.train.train_state import make_eval_forward
-    cfg = realistic_cfg(cfg_yaml)
+    cfg = realistic_cfg(cfg_yaml, compute_dtype)
     model, batch = build(cfg, training=False, batch_size=batch_size)
     variables = model.init_variables(jax.random.PRNGKey(0), batch)
     fwd = make_eval_forward(model)
@@ -90,11 +94,12 @@ def bench_eval(name, cfg_yaml, batch_size=2, warmup=2, iters=10):
             'batch': batch_size}
 
 
-def bench_train(name, cfg_yaml, batch_size=2, warmup=2, iters=10):
+def bench_train(name, cfg_yaml, batch_size=2, warmup=2, iters=10,
+                compute_dtype=''):
     import jax
     from pcdet_tpu.train.optimization import build_optimizer_and_schedule
     from pcdet_tpu.train.train_state import create_train_state, make_train_step
-    cfg = realistic_cfg(cfg_yaml)
+    cfg = realistic_cfg(cfg_yaml, compute_dtype)
     model, batch = build(cfg, training=True, batch_size=batch_size)
     variables = model.init_variables(jax.random.PRNGKey(0), batch)
     tx, _ = build_optimizer_and_schedule(cfg.MODEL.TRAIN.OPTIMIZATION, 100, 1)
@@ -140,6 +145,11 @@ def main():
         run(bench_train, 'parta2', 'PartA2.yaml')
     if 'pointpillar' in want:
         run(bench_train, 'pointpillar', 'pointpillar.yaml', batch_size=4)
+    if 'second_bf16' in want:
+        run(bench_eval, 'second_bf16', 'second.yaml',
+            compute_dtype='bfloat16')
+        run(bench_train, 'second_bf16', 'second.yaml',
+            compute_dtype='bfloat16')
 
     # merge over prior results so partial runs don't drop other models
     out_path = ROOT / 'BENCH_MODELS.json'
