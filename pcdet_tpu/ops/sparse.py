@@ -331,6 +331,10 @@ def _apply_rules(level: SparseLevel, out_mask, rows, found, weights,
     v, k = rows.shape
     cin = level.features.shape[-1]
     feats = level.features
+    if compute_dtype is not None and cin < 16:
+        # Mosaic cannot lower sub-lane bf16 row loads (vector<1x1x4xbf16>)
+        # on this jaxlib: the first conv's tiny Cin stays f32
+        compute_dtype = None
     if compute_dtype is not None:
         feats = feats.astype(compute_dtype)
         weights = weights.astype(compute_dtype)
@@ -376,6 +380,8 @@ def _apply_rules_transpose_bwd(level, out_mask, rows, found, weights,
     from .pallas.gather_gemm import _dw_any, _gm_any
     cin = level.features.shape[-1]
     feats = level.features
+    if compute_dtype is not None and cin < 16:
+        compute_dtype = None                    # see _apply_rules
     if compute_dtype is not None:
         feats = feats.astype(compute_dtype)
         weights = weights.astype(compute_dtype)

@@ -124,18 +124,41 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--models', default='second,parta2,pointpillar')
     ap.add_argument('--iters', type=int, default=10)
+    ap.add_argument('--batch_size', type=int, default=0,
+                    help='override eval/train batch; metric names get a '
+                         '_b{N} suffix so BENCH_MODELS keeps all points')
     args = ap.parse_args()
     import jax
     print('backend:', jax.default_backend(), file=sys.stderr)
     want = set(args.models.split(','))
     results = []
 
+    out_path = ROOT / 'BENCH_MODELS.json'
+
+    def flush_results():
+        # merge over prior results so partial runs don't drop other models
+        merged = {}
+        if out_path.exists():
+            merged = {r['metric']: r for r in json.loads(out_path.read_text())}
+        merged.update({r['metric']: r for r in results})
+        with open(out_path, 'w') as f:
+            json.dump(list(merged.values()), f, indent=1)
+
     def run(fn, *a, **kw):
+        if args.batch_size:
+            kw['batch_size'] = args.batch_size
         t0 = time.perf_counter()
-        r = fn(*a, iters=args.iters, **kw)
+        try:
+            r = fn(*a, iters=args.iters, **kw)
+        except Exception as e:  # one broken model must not drop the rest
+            print('FAILED %s %s: %r' % (fn.__name__, a, e), file=sys.stderr)
+            return
+        if args.batch_size:
+            r['metric'] += '_b%d' % args.batch_size
         r['setup_plus_bench_s'] = round(time.perf_counter() - t0, 1)
         results.append(r)
         print(json.dumps(r), flush=True)
+        flush_results()  # write-through: a later crash keeps earlier numbers
 
     if 'second' in want:
         run(bench_eval, 'second', 'second.yaml')
@@ -151,14 +174,7 @@ def main():
         run(bench_train, 'second_bf16', 'second.yaml',
             compute_dtype='bfloat16')
 
-    # merge over prior results so partial runs don't drop other models
-    out_path = ROOT / 'BENCH_MODELS.json'
-    merged = {}
-    if out_path.exists():
-        merged = {r['metric']: r for r in json.loads(out_path.read_text())}
-    merged.update({r['metric']: r for r in results})
-    with open(out_path, 'w') as f:
-        json.dump(list(merged.values()), f, indent=1)
+    flush_results()
 
 
 if __name__ == '__main__':
