@@ -173,6 +173,11 @@ def main():
             compute_dtype='bfloat16')
         run(bench_train, 'second_bf16', 'second.yaml',
             compute_dtype='bfloat16')
+    if 'parta2_bf16' in want:
+        run(bench_eval, 'parta2_bf16', 'PartA2.yaml',
+            compute_dtype='bfloat16')
+        run(bench_train, 'parta2_bf16', 'PartA2.yaml',
+            compute_dtype='bfloat16')
 
     flush_results()
 

@@ -111,6 +111,49 @@ def main():
 
     timed('roiaware avg fwd+bwd', jax.jit(pool_grad), part)
 
+    from pcdet_tpu.ops.roiaware_pool import roiaware_pool3d_multi
+    timed('roiaware_multi compacted (1 sample)', jax.jit(
+        lambda r, c, p, s, m: sum(
+            x.sum() for x in roiaware_pool3d_multi(
+                r, c, [(p, 'avg'), (s, 'max')], m, out_size=14,
+                max_pts_per_roi=512))), rois, centers, part, seg, mask)
+
+    # ---------------- stage-2 pieces ----------------
+    from pcdet_tpu.models.roi_heads import proposal_layer
+    n_anchor = model.anchor_targets.num_anchors \
+        if hasattr(model, 'anchor_targets') else 211200
+    rngj = jax.random.PRNGKey(3)
+    cls_p = jax.random.normal(rngj, (2, int(n_anchor), 3))
+    box_p = jnp.concatenate([
+        jax.random.uniform(rngj, (2, int(n_anchor), 2), minval=0, maxval=60),
+        jax.random.uniform(rngj, (2, int(n_anchor), 1), minval=-2, maxval=0),
+        jax.random.uniform(rngj, (2, int(n_anchor), 3), minval=1, maxval=4),
+        jax.random.uniform(rngj, (2, int(n_anchor), 1), minval=-3, maxval=3),
+    ], axis=-1)
+    timed('proposal_layer train (pre9000/post512)', jax.jit(
+        lambda c, b: jax.tree_util.tree_leaves(proposal_layer(
+            c, b, nms_pre=9000, nms_post=512,
+            nms_thresh=0.8))[0].sum()), cls_p, box_p)
+
+    pooled_part = jax.random.normal(rngj, (1024, 14, 14, 14, 4))
+    pooled_rpn = jax.random.normal(rngj, (1024, 14, 14, 14, 16))
+    rcnn_vars = {'params': variables['params']['rcnn'],
+                 'batch_stats': variables['batch_stats']['rcnn']}
+
+    def rcnn_fwd(pp, pr):
+        cls_o, reg_o = model.rcnn_module.apply(rcnn_vars, pp, pr, False)
+        return cls_o.sum() + reg_o.sum()
+
+    timed('rcnn module fwd (1024 rois)', jax.jit(rcnn_fwd),
+          pooled_part, pooled_rpn)
+
+    def rcnn_bwd_scalar(pp, pr):
+        g1, g2 = jax.grad(rcnn_fwd, argnums=(0, 1))(pp, pr)
+        return g1.sum() + g2.sum()      # scalar out: no eager 9 MB transfer
+
+    timed('rcnn module fwd+bwd', jax.jit(rcnn_bwd_scalar),
+          pooled_part, pooled_rpn)
+
 
 if __name__ == '__main__':
     main()
