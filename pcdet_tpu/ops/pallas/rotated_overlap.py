@@ -169,6 +169,66 @@ def _overlap_kernel(a_ref, b_ref, out_ref, px_s, py_s, va_s, ang_s,
     out_ref[:] = jnp.where(count >= 3.0, area, 0.0)
 
 
+def _edgeclip_kernel(a_ref, bt_ref, out_ref):
+    """Green's-theorem edge clipping (see rotated_iou.
+    quad_intersection_area_edgeclip): each polygon edge is clipped to a
+    parameter interval against the partner quad's 4 half-planes and
+    contributes INT x dy over the clipped span.  ~460 (TME, TN) vector ops
+    per tile — vs ~9000 for the 24-candidate dedup/successor formulation
+    (_overlap_kernel), with NO scratch and no cross-candidate scans.
+
+    Layout: a_ref (TME, 8) — slicing a lane column gives a natural
+    SUBLANE vector (TME, 1); bt_ref (8, TN) is the b corners TRANSPOSED so
+    row slices are natural LANE vectors (1, TN).  The earlier layout
+    (b as (TN, 8)) forced 8 sublane->lane transposes per tile, which
+    dominated the whole kernel (~100 us/tile)."""
+    a = a_ref[:]
+    ax = [a[:, 2 * k][:, None] for k in range(4)]     # (TME, 1)
+    ay = [a[:, 2 * k + 1][:, None] for k in range(4)]
+    bx = [bt_ref[2 * k, :][None, :] for k in range(4)]        # (1, TN)
+    by = [bt_ref[2 * k + 1, :][None, :] for k in range(4)]
+    zeros = jnp.zeros((a.shape[0], bx[0].shape[1]), jnp.float32)
+    tiny = 1e-12
+    eps = 1e-7
+
+    def contrib(px, py, qx, qy, eps_side):
+        acc = zeros
+        narc = zeros
+        for i in range(4):
+            p0x = px[i] + zeros
+            p0y = py[i] + zeros
+            dx = (px[(i + 1) % 4] - px[i]) + zeros
+            dy = (py[(i + 1) % 4] - py[i]) + zeros
+            s_lo = zeros
+            s_hi = zeros + 1.0
+            ok = zeros < 1.0                           # all True
+            for j in range(4):
+                ex = (qx[(j + 1) % 4] - qx[j]) + zeros
+                ey = (qy[(j + 1) % 4] - qy[j]) + zeros
+                f0 = ex * (p0y - qy[j]) - ey * (p0x - qx[j])
+                fd = ex * dy - ey * dx
+                is_par = jnp.abs(fd) <= tiny
+                bound = (-eps_side - f0) / jnp.where(is_par, 1.0, fd)
+                s_lo = jnp.where(fd > tiny, jnp.maximum(s_lo, bound), s_lo)
+                s_hi = jnp.where(fd < -tiny, jnp.minimum(s_hi, bound), s_hi)
+                ok = ok & ((~is_par) | (f0 >= -eps_side))
+            s_lo = jnp.clip(s_lo, 0.0, 1.0)
+            s_hi = jnp.clip(s_hi, 0.0, 1.0)
+            ds = jnp.maximum(s_hi - s_lo, 0.0)
+            live = ok & (ds > 1e-6)
+            integral = dy * (p0x * ds + 0.5 * dx * (s_hi + s_lo) * ds)
+            acc = acc + jnp.where(live, integral, 0.0)
+            narc = narc + jnp.where(live, 1.0, 0.0)
+        return acc, narc
+
+    a1, n1 = contrib(ax, ay, bx, by, eps)
+    a2, n2 = contrib(bx, by, ax, ay, -eps)
+    # a nonempty 2D intersection has >= 3 boundary arcs; fewer means a
+    # degenerate touching (open traversal -> bogus area)
+    out_ref[:] = jnp.where(n1 + n2 >= 3.0,
+                           jnp.maximum(a1 + a2, 0.0), 0.0)
+
+
 def _pad_to(x, m, axis):
     pad = (-x.shape[axis]) % m
     if pad == 0:
@@ -178,9 +238,41 @@ def _pad_to(x, m, axis):
     return jnp.pad(x, widths)
 
 
+TME = 64         # edge-clip kernel rows per program
+
+
 @jax.jit
 def pair_overlap(corners_a, corners_b):
-    """(M, 4, 2) x (N, 4, 2) -> (M, N) rotated intersection areas."""
+    """(M, 4, 2) x (N, 4, 2) -> (M, N) rotated intersection areas
+    (Green's-theorem edge-clip kernel)."""
+    m, n = corners_a.shape[0], corners_b.shape[0]
+    a = _pad_to(corners_a.reshape(m, 8).astype(jnp.float32), TME, 0)
+    bt = _pad_to(corners_b.reshape(n, 8).astype(jnp.float32), TN, 0).T
+    mp, np_ = a.shape[0], bt.shape[1]
+
+    grid = (mp // TME, np_ // TN)
+    out = pl.pallas_call(
+        _edgeclip_kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TME, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TN), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TME, TN), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(a, bt)
+    return out[:m, :n]
+
+
+@jax.jit
+def pair_overlap_sorted(corners_a, corners_b):
+    """Previous 24-candidate formulation — kept as an independent
+    cross-check for the edge-clip kernel (tests/test_pallas_overlap.py)."""
     m, n = corners_a.shape[0], corners_b.shape[0]
     a = _pad_to(corners_a.reshape(m, 8).astype(jnp.float32), TM, 0)
     b = _pad_to(corners_b.reshape(n, 8).astype(jnp.float32), TN, 0)

@@ -88,8 +88,10 @@ def _segment_intersections(ca, cb):
             valid.reshape(*batch_shape, 16))
 
 
-def quad_intersection_area(ca, cb):
-    """Intersection area of two convex quads given corners (..., 4, 2)."""
+def quad_intersection_area_sort(ca, cb):
+    """Intersection area of two convex quads given corners (..., 4, 2) —
+    24-candidate centroid-angle-sort formulation.  Kept as an independent
+    cross-check; `quad_intersection_area` (edge-clip) is the default."""
     shape = jnp.broadcast_shapes(ca.shape, cb.shape)
     ca = jnp.broadcast_to(ca, shape)
     cb = jnp.broadcast_to(cb, shape)
@@ -122,6 +124,67 @@ def quad_intersection_area(ca, cb):
                     - nxt[..., 0] * pts_fixed[..., 1], axis=-1)
     area = 0.5 * jnp.abs(area2)
     return jnp.where(count[..., 0] >= 3, area, 0.0)
+
+
+def _edge_clip_contrib(p, q, eps_side):
+    """Green's-theorem contribution of polygon `p`'s edges restricted to the
+    interior of convex CCW quad `q`: sum over edges of INT_{edge∩q} x dy.
+
+    Each edge is clipped to a parameter interval [s_lo, s_hi] against q's 4
+    half-planes (pure elementwise — no vertex enumeration, no ordering).
+    `eps_side` sets the boundary convention: +eps counts edges lying ON
+    partner boundary as inside, -eps excludes them — used asymmetrically so
+    a shared boundary (identical boxes) is traversed exactly once.
+
+    :param p: (..., 4, 2) CCW corners; :param q: (..., 4, 2) CCW corners
+    :return: (...,) signed area contribution
+    """
+    tiny = 1e-12
+    p0 = p
+    d = jnp.roll(p, -1, axis=-2) - p                       # (..., 4, 2)
+    q0 = q[..., None, :, :]                                # (..., 1, 4, 2)
+    e = jnp.roll(q, -1, axis=-2)[..., None, :, :] - q0     # q edge vectors
+
+    # f(s) = f0 + s * fd per (p-edge i, q-edge j): inside q iff f >= -eps
+    rel = p0[..., :, None, :] - q0                         # (..., 4, 4, 2)
+    f0 = e[..., 0] * rel[..., 1] - e[..., 1] * rel[..., 0]
+    fd = (e[..., 0] * d[..., :, None, 1]
+          - e[..., 1] * d[..., :, None, 0])                # (..., 4, 4)
+
+    bound = (-eps_side - f0) / jnp.where(jnp.abs(fd) > tiny, fd, 1.0)
+    pos = fd > tiny
+    neg = fd < -tiny
+    s_lo = jnp.max(jnp.where(pos, bound, 0.0), axis=-1)
+    s_hi = jnp.min(jnp.where(neg, bound, 1.0), axis=-1)
+    para_ok = jnp.all((jnp.abs(fd) > tiny) | (f0 >= -eps_side), axis=-1)
+
+    s_lo = jnp.clip(s_lo, 0.0, 1.0)
+    s_hi = jnp.clip(s_hi, 0.0, 1.0)
+    ds = jnp.maximum(s_hi - s_lo, 0.0)
+    live = para_ok & (ds > 1e-6)
+
+    x0 = p0[..., 0]
+    dx = d[..., 0]
+    dy = d[..., 1]
+    integral = dy * (x0 * ds + 0.5 * dx * (s_hi + s_lo) * ds)
+    return (jnp.sum(jnp.where(live, integral, 0.0), axis=-1),
+            jnp.sum(live, axis=-1))
+
+
+def quad_intersection_area(ca, cb, eps=1e-7):
+    """Intersection area by Green's theorem over clipped edges — ~10x fewer
+    ops than the 24-candidate sort formulation (quad_intersection_area_sort):
+    area(A∩B) = SUM_{e in dA} INT_{e∩B} x dy + SUM_{e in dB} INT_{e∩A} x dy.
+    The asymmetric boundary epsilon makes shared boundaries count once.
+    """
+    shape = jnp.broadcast_shapes(ca.shape, cb.shape)
+    ca = jnp.broadcast_to(ca, shape)
+    cb = jnp.broadcast_to(cb, shape)
+    a1, n1 = _edge_clip_contrib(ca, cb, eps)
+    a2, n2 = _edge_clip_contrib(cb, ca, -eps)
+    # a nonempty 2D intersection is a convex polygon with >= 3 boundary
+    # arcs; fewer arcs = degenerate touching (open traversal, bogus area)
+    return jnp.where(n1 + n2 >= 3, jnp.maximum(a1 + a2, 0.0), 0.0)
 
 
 def _pairwise(fn, boxes_a, boxes_b, row_chunk=None):
