@@ -331,9 +331,11 @@ def _apply_rules(level: SparseLevel, out_mask, rows, found, weights,
     v, k = rows.shape
     cin = level.features.shape[-1]
     feats = level.features
-    if compute_dtype is not None and cin < 16:
-        # Mosaic cannot lower sub-lane bf16 row loads (vector<1x1x4xbf16>)
-        # on this jaxlib: the first conv's tiny Cin stays f32
+    if compute_dtype is not None and jax.default_backend() != 'cpu':
+        # this jaxlib's Mosaic cannot lower narrow bf16 row loads
+        # (vector<1x1xCxbf16>, C < 128) in the gather kernels: bf16
+        # streaming stays a no-op on TPU until Mosaic supports it; the
+        # CPU/XLA path honors it for numerics testing
         compute_dtype = None
     if compute_dtype is not None:
         feats = feats.astype(compute_dtype)
@@ -380,7 +382,7 @@ def _apply_rules_transpose_bwd(level, out_mask, rows, found, weights,
     from .pallas.gather_gemm import _dw_any, _gm_any
     cin = level.features.shape[-1]
     feats = level.features
-    if compute_dtype is not None and cin < 16:
+    if compute_dtype is not None and jax.default_backend() != 'cpu':
         compute_dtype = None                    # see _apply_rules
     if compute_dtype is not None:
         feats = feats.astype(compute_dtype)
