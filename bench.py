@@ -38,7 +38,11 @@ os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
 
 import numpy as np
 
-BATCH = 4
+# B2 is the measured per-chip throughput sweet spot: the per-sample NMS +
+# decode run under lax.map (sequential over batch), so large batches
+# serialize them (measured fps/chip: B1 79.9, B2 80.6, B4 51.8, B8 42.3);
+# CUDA reference stacks bench at B1.
+BATCH = int(os.environ.get('BENCH_BATCH', '2'))
 MAX_POINTS = 65536
 WARMUP = 3
 ITERS = 20
