@@ -16,7 +16,6 @@ version blows the 16 MB scoped-vmem stack).
 API: `pair_overlap(corners_a (M, 4, 2), corners_b (N, 4, 2)) -> (M, N)`
 intersection areas, matching ops.rotated_iou.quad_intersection_area.
 """
-import functools
 
 import jax
 import jax.numpy as jnp

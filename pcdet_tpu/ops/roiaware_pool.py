@@ -7,7 +7,6 @@ point) pair is classified into its sub-voxel cell and pooled with one XLA
 scatter — differentiable out of the box (scatter-add / scatter-max have
 built-in VJPs), so no custom backward kernels are needed.
 """
-from functools import partial
 
 import jax
 import jax.numpy as jnp
