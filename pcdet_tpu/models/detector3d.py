@@ -6,7 +6,6 @@ generate_recall_record:301-323) — re-expressed as pure fixed-shape functions
 so the whole eval path (logits -> final boxes) is one jit with no host
 round-trips (the reference crosses the device boundary inside NMS).
 """
-from functools import partial
 from typing import Dict
 
 import jax
@@ -50,7 +49,8 @@ def decode_single_stage(ret_dict, anchors, box_coder: ResidualCoder,
 def post_process_sample(cls_preds, box_preds, score_thresh, nms_thresh,
                         nms_pre, nms_post, use_raw_score=True,
                         class_labels_override=None, rotated=True):
-    """Class-agnostic NMS for one sample, fixed shape.
+    """Class-agnostic NMS for one sample (convenience wrapper over the
+    batched path — see post_process_batched).
 
     :param cls_preds: (A, C) logits (background already excluded)
     :param box_preds: (A, 7) decoded boxes
@@ -58,27 +58,50 @@ def post_process_sample(cls_preds, box_preds, score_thresh, nms_thresh,
              valid (post,) bool
     (reference detector3d.post_processing:155-236 + class_agnostic_nms)
     """
-    if cls_preds.ndim > 1 and cls_preds.shape[-1] > 1:
+    out = post_process_batched(
+        cls_preds[None], box_preds[None], score_thresh, nms_thresh,
+        nms_pre, nms_post, use_raw_score=use_raw_score,
+        class_labels_override=(None if class_labels_override is None
+                               else class_labels_override[None]),
+        rotated=rotated)
+    return {k: v[0] for k, v in out.items()}
+
+
+def post_process_batched(cls_preds, box_preds, score_thresh, nms_thresh,
+                         nms_pre, nms_post, use_raw_score=True,
+                         class_labels_override=None, rotated=True):
+    """Class-agnostic NMS over the whole batch in one batched-NMS call.
+
+    :param cls_preds: (B, A, C) logits (background already excluded)
+    :param box_preds: (B, A, 7) decoded boxes
+    :return: dict boxes (B, post, 7), scores, labels, valid, num
+    (reference detector3d.post_processing:155-236 + class_agnostic_nms)
+    """
+    if cls_preds.ndim > 2 and cls_preds.shape[-1] > 1:
         rank_scores = jnp.max(cls_preds, axis=-1)
         class_labels = jnp.argmax(cls_preds, axis=-1) + 1
     else:
-        rank_scores = cls_preds.reshape(-1)
+        rank_scores = cls_preds.reshape(cls_preds.shape[0], -1)
         class_labels = (jnp.ones_like(rank_scores, dtype=jnp.int32)
-                        if class_labels_override is None else class_labels_override)
+                        if class_labels_override is None
+                        else class_labels_override)
     normalized = jax.nn.sigmoid(rank_scores)
     valid = normalized >= score_thresh
 
     boxes5 = jnp_common.boxes3d_to_bev_corner_format(box_preds)
-    selected, num = nms_ops.nms_bev(boxes5, rank_scores, nms_thresh,
-                                    pre_max=nms_pre, post_max=nms_post,
-                                    valid_mask=valid, rotated=rotated)
+    selected, num = nms_ops.nms_bev_batched(
+        boxes5, rank_scores, nms_thresh, pre_max=nms_pre, post_max=nms_post,
+        valid_mask=valid, rotated=rotated)
     sel_valid = selected >= 0
     sel_safe = jnp.where(sel_valid, selected, 0)
-    final_boxes = box_preds[sel_safe] * sel_valid[:, None].astype(box_preds.dtype)
+    final_boxes = (jnp.take_along_axis(box_preds, sel_safe[..., None], axis=1)
+                   * sel_valid[..., None].astype(box_preds.dtype))
+    score_src = rank_scores if use_raw_score else normalized
     final_scores = jnp.where(
-        sel_valid, rank_scores[sel_safe] if use_raw_score else normalized[sel_safe],
-        0.0)
-    final_labels = jnp.where(sel_valid, class_labels[sel_safe], 0).astype(jnp.int32)
+        sel_valid, jnp.take_along_axis(score_src, sel_safe, axis=1), 0.0)
+    final_labels = jnp.where(
+        sel_valid, jnp.take_along_axis(class_labels, sel_safe, axis=1),
+        0).astype(jnp.int32)
     return {
         'boxes': final_boxes,
         'scores': final_scores,
@@ -88,58 +111,61 @@ def post_process_sample(cls_preds, box_preds, score_thresh, nms_thresh,
     }
 
 
-def multi_classes_nms_sample(cls_preds, box_preds, score_thresh, nms_thresh,
-                             nms_pre, nms_post, use_raw_score=True,
-                             rotated=True):
+def multi_classes_nms_batched(cls_preds, box_preds, score_thresh, nms_thresh,
+                              nms_pre, nms_post, use_raw_score=True,
+                              rotated=True):
     """Per-class rotated NMS (reference detector3d.multi_classes_nms:238-276),
-    fixed shape: each class gets nms_post slots, concatenated.
+    fixed shape: each class gets nms_post slots, concatenated.  Each class
+    runs one batched-NMS call over the full batch.
 
-    :param cls_preds: (A, C) raw logits
-    :return: same dict shape as post_process_sample but with C*nms_post slots
+    :param cls_preds: (B, A, C) raw logits
+    :return: same dict shape as post_process_batched but with C*nms_post slots
     """
     num_class = cls_preds.shape[-1]
     boxes5 = jnp_common.boxes3d_to_bev_corner_format(box_preds)
     outs = []
     for k in range(num_class):
-        rank_scores = cls_preds[:, k]
+        rank_scores = cls_preds[..., k]
         normalized = jax.nn.sigmoid(rank_scores)
         valid = normalized >= score_thresh
-        selected, num = nms_ops.nms_bev(boxes5, rank_scores, nms_thresh,
-                                        pre_max=nms_pre, post_max=nms_post,
-                                        valid_mask=valid, rotated=rotated)
+        selected, num = nms_ops.nms_bev_batched(
+            boxes5, rank_scores, nms_thresh, pre_max=nms_pre,
+            post_max=nms_post, valid_mask=valid, rotated=rotated)
         ok = selected >= 0
         sel = jnp.where(ok, selected, 0)
+        score_src = rank_scores if use_raw_score else normalized
         outs.append({
-            'boxes': box_preds[sel] * ok[:, None].astype(box_preds.dtype),
-            'scores': jnp.where(ok, rank_scores[sel] if use_raw_score
-                                else normalized[sel], 0.0),
+            'boxes': (jnp.take_along_axis(box_preds, sel[..., None], axis=1)
+                      * ok[..., None].astype(box_preds.dtype)),
+            'scores': jnp.where(ok, jnp.take_along_axis(score_src, sel,
+                                                        axis=1), 0.0),
             'labels': jnp.where(ok, k + 1, 0).astype(jnp.int32),
             'valid': ok,
             'num': num,
         })
     return {
-        'boxes': jnp.concatenate([o['boxes'] for o in outs], axis=0),
-        'scores': jnp.concatenate([o['scores'] for o in outs], axis=0),
-        'labels': jnp.concatenate([o['labels'] for o in outs], axis=0),
-        'valid': jnp.concatenate([o['valid'] for o in outs], axis=0),
+        'boxes': jnp.concatenate([o['boxes'] for o in outs], axis=1),
+        'scores': jnp.concatenate([o['scores'] for o in outs], axis=1),
+        'labels': jnp.concatenate([o['labels'] for o in outs], axis=1),
+        'valid': jnp.concatenate([o['valid'] for o in outs], axis=1),
         'num': sum(o['num'] for o in outs),
     }
 
 
 def post_process_batch(batch_cls_preds, batch_box_preds, test_cfg,
                        class_labels_override=None):
-    """Map post_process_sample over the batch.
+    """Post-process the whole batch with batch-parallel NMS.
 
-    Uses lax.map (sequential over batch) rather than vmap: the per-sample NMS
-    is already massively parallel internally, and batching the (pre, pre) IoU
-    matrix under vmap makes XLA choose a batch-minor tiled layout with ~32x
-    padding blow-up (observed 8 GB for B=4, pre=4096).
+    (Round-2 used lax.map over per-sample NMS — sequential over batch, so
+    fps/chip DROPPED with batch size.  nms_bev_batched advances every
+    sample's greedy frontier per round in one pallas call; vmap remains
+    unusable because batching the (pre, pre) IoU matrix picks a batch-minor
+    tiled layout with ~32x padding blow-up.)
     """
-    base = (multi_classes_nms_sample
+    base = (multi_classes_nms_batched
             if bool(test_cfg.get('MULTI_CLASSES_NMS', False))
-            else post_process_sample)
-    fn = partial(
-        base,
+            else post_process_batched)
+    kwargs = dict(
         score_thresh=float(test_cfg.SCORE_THRESH),
         nms_thresh=float(test_cfg.NMS_THRESH),
         nms_pre=int(test_cfg.NMS_PRE_MAXSIZE_LAST),
@@ -149,12 +175,27 @@ def post_process_batch(batch_cls_preds, batch_box_preds, test_cfg,
         # (reference class_agnostic_nms dispatches by name into iou3d_nms_utils)
         rotated=str(test_cfg.get('NMS_TYPE', 'nms_gpu')) != 'nms_normal_gpu',
     )
-    if class_labels_override is not None:
-        return jax.lax.map(
-            lambda args: fn(args[0], args[1], class_labels_override=args[2]),
-            (batch_cls_preds, batch_box_preds, class_labels_override))
-    return jax.lax.map(lambda args: fn(*args),
-                       (batch_cls_preds, batch_box_preds))
+    if (class_labels_override is not None
+            and base is post_process_batched):
+        kwargs['class_labels_override'] = class_labels_override
+    return base(batch_cls_preds, batch_box_preds, **kwargs)
+
+
+def merge_overflow_tb(tb, ret_dict, batch):
+    """Attach cap-overflow counters as `overflow/*` TB scalars.
+
+    Every static cap in the pipeline (voxelizer max_voxels, sparse level
+    caps, RoI point compaction) silently truncates when exceeded; the caps
+    are calibrated on synthetic occupancy, so a real scene past them would
+    corrupt accuracy with no visible signal.  Any nonzero `overflow/*`
+    scalar in the train log / TB means a cap needs raising.
+    """
+    for k, v in (ret_dict.get('overflow') or {}).items():
+        if v is not None:
+            tb['overflow/' + k] = jnp.asarray(v).sum()
+    if 'voxel_overflow' in batch:
+        tb['overflow/voxelizer'] = jnp.asarray(batch['voxel_overflow']).sum()
+    return tb
 
 
 def recall_counts(final_boxes, final_valid, gt_boxes, thresh_list=(0.5, 0.7)):

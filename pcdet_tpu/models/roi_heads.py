@@ -38,26 +38,26 @@ def proposal_layer(batch_cls_preds, batch_box_preds, nms_pre, nms_post,
     """(B, A, C), (B, A, 7) -> rois (B, nms_post, 7), raw scores, labels.
 
     `rotated=False` selects the axis-aligned path (RPN_NMS_TYPE:
-    nms_normal_gpu in the reference)."""
-
-    def one(cls_preds, box_preds):
-        raw_top_scores = jnp.max(cls_preds, axis=-1)
-        top_labels = jnp.argmax(cls_preds, axis=-1) + 1
-        boxes5 = jnp_common.boxes3d_to_bev_corner_format(box_preds)
-        selected, num = nms_ops.nms_bev(boxes5, raw_top_scores, nms_thresh,
-                                        pre_max=nms_pre, post_max=nms_post,
-                                        rotated=rotated)
-        ok = selected >= 0
-        sel = jnp.where(ok, selected, 0)
-        rois = box_preds[sel] * ok[:, None].astype(box_preds.dtype)
-        roi_raw_scores = jnp.where(ok, raw_top_scores[sel], BIG_NEG)
-        roi_labels = jnp.where(ok, top_labels[sel], 1).astype(jnp.int32)
-        return rois, roi_raw_scores, roi_labels, ok
-
-    rois, raw, labels, valid = jax.lax.map(
-        lambda args: one(*args), (batch_cls_preds, batch_box_preds))
+    nms_normal_gpu in the reference).  Batch-parallel: one batched-NMS call
+    for the whole batch (round-2's lax.map serialized the per-sample
+    pre=9000 proposal NMS — the dominant term of the Part-A² stage-2
+    batch-scaling cliff)."""
+    raw_top_scores = jnp.max(batch_cls_preds, axis=-1)         # (B, A)
+    top_labels = jnp.argmax(batch_cls_preds, axis=-1) + 1
+    boxes5 = jnp_common.boxes3d_to_bev_corner_format(batch_box_preds)
+    selected, num = nms_ops.nms_bev_batched(
+        boxes5, raw_top_scores, nms_thresh, pre_max=nms_pre,
+        post_max=nms_post, rotated=rotated)
+    ok = selected >= 0
+    sel = jnp.where(ok, selected, 0)
+    rois = (jnp.take_along_axis(batch_box_preds, sel[..., None], axis=1)
+            * ok[..., None].astype(batch_box_preds.dtype))
+    raw = jnp.where(ok, jnp.take_along_axis(raw_top_scores, sel, axis=1),
+                    BIG_NEG)
+    labels = jnp.where(ok, jnp.take_along_axis(top_labels, sel, axis=1),
+                       1).astype(jnp.int32)
     return {'rois': rois, 'roi_raw_scores': raw, 'roi_labels': labels,
-            'roi_valid': valid}
+            'roi_valid': ok}
 
 
 # ---------------------------------------------------------------------------

@@ -134,6 +134,155 @@ def _lazy_greedy_rotated(top_boxes, top_valid, thresh, post_max, block=64):
     return keep
 
 
+def _greedy_suppress_batched(iou, valid, thresh):
+    """Batched frontier fixed point: (G, K, K) IoU, (G, K) valid ->
+    (G, K) keep.  Per-group results are bit-identical to _greedy_suppress
+    (frontier rounds are independent across groups; the shared while_loop
+    just runs until the SLOWEST group converges — finished groups have
+    alive == False everywhere and are no-ops)."""
+    g, k = iou.shape[0], iou.shape[1]
+    idx = jnp.arange(k)
+    sup = (iou > thresh) & (idx[:, None] < idx[None, :])[None] & valid[:, :, None]
+
+    def cond(state):
+        _, alive = state
+        return alive.any()
+
+    def body(state):
+        kept, alive = state
+        blocked = (sup & alive[:, :, None]).any(axis=1)
+        frontier = alive & ~blocked
+        suppressed = (sup & frontier[:, :, None]).any(axis=1)
+        return kept | frontier, alive & ~frontier & ~suppressed
+
+    kept, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((g, k), dtype=bool), valid))
+    return kept
+
+
+def _lazy_greedy_batched(top_boxes, top_valid, thresh, post_max, rotated,
+                         block=64):
+    """Batched exact greedy NMS with lazy blocked IoU rows.
+
+    Per-sample semantics identical to _lazy_greedy_rotated, but ALL samples
+    advance their frontier each round: one pair_overlap_batched kernel call
+    computes every sample's (block, pre) IoU rows, so the round count is the
+    MAX suppression-chain depth over the batch instead of the SUM (the
+    lax.map formulation serialized samples — PointPillar fps/chip DROPPED
+    with batch size, 80.6 at B2 -> 42.3 at B8).
+
+    Scatter-free: block membership and slot mapping are derived from
+    cumsum(alive) instead of .at[] scatters (lane scatters into big arrays
+    lower pathologically on TPU — PERF_NOTES round 1 item 1).
+
+    :param top_boxes: (G, pre, 5) descending score order per group
+    :param top_valid: (G, pre) bool
+    :param rotated: rotated IoU rows (pallas kernel / edge-clip) vs
+        axis-aligned rows (nms_normal_* path)
+    :return: (G, pre) bool keep mask
+    """
+    g, pre = top_boxes.shape[0], top_boxes.shape[1]
+    use_pallas = rotated and jax.default_backend() != 'cpu'
+    if rotated and not use_pallas:
+        block = 1          # XLA polygon clip is pair-cost-bound
+    block = min(block, pre)
+    if rotated:
+        corners = rotated_iou.boxes5_to_corners(top_boxes)   # (G, pre, 4, 2)
+    area = ((top_boxes[..., 2] - top_boxes[..., 0])
+            * (top_boxes[..., 3] - top_boxes[..., 1]))       # (G, pre)
+
+    def cond(state):
+        keep, alive, n = state
+        return (alive.any(axis=1) & (n < post_max)).any()
+
+    def body(state):
+        keep, alive, n = state
+        upd = alive.any(axis=1) & (n < post_max)              # (G,)
+        # first `block` alive boxes per group, in rank order
+        cnt = jnp.cumsum(alive, axis=1)                       # (G, pre)
+        in_block = alive & (cnt <= block)
+        slot = jnp.clip(cnt - 1, 0, block - 1)                # pos -> blk slot
+        blk = jnp.sort(jnp.where(alive, jnp.arange(pre)[None], pre),
+                       axis=1)[:, :block]                     # (G, block)
+        blk_valid = blk < pre
+        blk_idx = jnp.where(blk_valid, blk, 0)
+
+        if rotated:
+            cb = jnp.take_along_axis(
+                corners, blk_idx[:, :, None, None], axis=1)   # (G, B, 4, 2)
+            if use_pallas:
+                from .pallas.rotated_overlap import pair_overlap_batched
+                inter = pair_overlap_batched(cb, corners)     # (G, B, pre)
+            else:
+                inter = rotated_iou.quad_intersection_area(
+                    cb[:, :, None], corners[:, None])
+        else:
+            bb = jnp.take_along_axis(top_boxes, blk_idx[:, :, None], axis=1)
+            iw = jnp.clip(jnp.minimum(bb[:, :, None, 2], top_boxes[:, None, :, 2])
+                          - jnp.maximum(bb[:, :, None, 0], top_boxes[:, None, :, 0]),
+                          min=0)
+            ih = jnp.clip(jnp.minimum(bb[:, :, None, 3], top_boxes[:, None, :, 3])
+                          - jnp.maximum(bb[:, :, None, 1], top_boxes[:, None, :, 1]),
+                          min=0)
+            inter = iw * ih
+        area_blk = jnp.take_along_axis(area, blk_idx, axis=1)  # (G, B)
+        iou_blk = inter / jnp.maximum(
+            area_blk[:, :, None] + area[:, None, :] - inter, 1e-8)
+
+        # exact greedy within each block (rows/cols already rank-ordered)
+        iou_bb = jnp.take_along_axis(
+            iou_blk, jnp.broadcast_to(blk_idx[:, None, :],
+                                      (g, block, block)), axis=2)
+        keep_b = _greedy_suppress_batched(iou_bb, blk_valid, thresh)
+
+        kill = ((iou_blk > thresh) & keep_b[:, :, None]).any(axis=1)
+        keep_full = jnp.take_along_axis(keep_b, slot, axis=1) & in_block
+        keep = keep | (keep_full & upd[:, None])
+        alive = jnp.where(upd[:, None], alive & ~kill & ~in_block, alive)
+        n = n + jnp.where(upd, keep_b.sum(axis=1), 0)
+        return keep, alive, n
+
+    keep, _, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros((g, pre), bool), top_valid, jnp.zeros((g,), jnp.int32)))
+    return keep
+
+
+@partial(jax.jit, static_argnames=('pre_max', 'post_max', 'rotated'))
+def nms_bev_batched(boxes5, scores, thresh, pre_max=4096, post_max=500,
+                    valid_mask=None, rotated=True):
+    """Batch-parallel fixed-shape NMS: every sample's greedy frontier
+    advances per round in one kernel call (vs nms_bev under lax.map, which
+    serializes samples).  Per-sample results identical to nms_bev.
+
+    :param boxes5: (G, A, 5), :param scores: (G, A)
+    :return: selected (G, post_max) int32 (-1 pad), num_selected (G,) int32
+    """
+    g, a = boxes5.shape[0], boxes5.shape[1]
+    pre_max = min(pre_max, a)
+    if valid_mask is None:
+        valid_mask = jnp.ones((g, a), dtype=bool)
+    ranked = jnp.where(valid_mask, scores, NEG_INF)
+    top_scores, order = jax.lax.top_k(ranked, pre_max)        # (G, pre)
+    top_valid = top_scores > NEG_INF / 2
+    top_boxes = jnp.take_along_axis(boxes5, order[:, :, None], axis=1)
+
+    keep = _lazy_greedy_batched(top_boxes, top_valid, thresh, post_max,
+                                rotated=rotated)
+
+    keep_rank = jnp.where(keep, jnp.arange(pre_max)[None], pre_max)
+    sel_order = jnp.argsort(keep_rank, axis=1)[:, :post_max]
+    sel_valid = jnp.sort(keep_rank, axis=1)[:, :post_max] < pre_max
+    selected = jnp.where(
+        sel_valid, jnp.take_along_axis(order, sel_order, axis=1),
+        -1).astype(jnp.int32)
+    if selected.shape[1] < post_max:                          # pre_max < post
+        pad = jnp.full((g, post_max - selected.shape[1]), -1, jnp.int32)
+        selected = jnp.concatenate([selected, pad], axis=1)
+    num = jnp.minimum(jnp.sum(keep, axis=1), post_max).astype(jnp.int32)
+    return selected, num
+
+
 @partial(jax.jit, static_argnames=('pre_max', 'post_max', 'rotated', 'row_chunk'))
 def nms_bev(boxes5, scores, thresh, pre_max=4096, post_max=500,
             valid_mask=None, rotated=True, row_chunk=64):

@@ -181,11 +181,19 @@ def _edgeclip_kernel(a_ref, bt_ref, out_ref):
     row slices are natural LANE vectors (1, TN).  The earlier layout
     (b as (TN, 8)) forced 8 sublane->lane transposes per tile, which
     dominated the whole kernel (~100 us/tile)."""
-    a = a_ref[:]
+    _edgeclip_compute(a_ref[:], bt_ref[:], out_ref)
+
+
+def _edgeclip_kernel_grouped(a_ref, bt_ref, out_ref):
+    """Same, with a grouped (1, 8, TN) b block (pair_overlap_batched)."""
+    _edgeclip_compute(a_ref[:], bt_ref[0], out_ref)
+
+
+def _edgeclip_compute(a, bt, out_ref):
     ax = [a[:, 2 * k][:, None] for k in range(4)]     # (TME, 1)
     ay = [a[:, 2 * k + 1][:, None] for k in range(4)]
-    bx = [bt_ref[2 * k, :][None, :] for k in range(4)]        # (1, TN)
-    by = [bt_ref[2 * k + 1, :][None, :] for k in range(4)]
+    bx = [bt[2 * k, :][None, :] for k in range(4)]            # (1, TN)
+    by = [bt[2 * k + 1, :][None, :] for k in range(4)]
     zeros = jnp.zeros((a.shape[0], bx[0].shape[1]), jnp.float32)
     tiny = 1e-12
     eps = 1e-7
@@ -266,6 +274,46 @@ def pair_overlap(corners_a, corners_b):
             vmem_limit_bytes=64 * 1024 * 1024),
     )(a, bt)
     return out[:m, :n]
+
+
+@jax.jit
+def pair_overlap_batched(corners_a, corners_b):
+    """(G, M, 4, 2) x (G, N, 4, 2) -> (G, M, N) rotated intersection areas —
+    independent pair problems per group, one kernel launch.
+
+    Used by the batched NMS (ops.nms.nms_bev_batched): all samples of a
+    batch advance their greedy frontier in ONE pallas_call instead of
+    serializing under lax.map.  Reuses _edgeclip_kernel unchanged — the
+    group axis only enters through the BlockSpec index maps (a rows are
+    flattened to (G*Mp, 8); the b operand keeps the group axis so each
+    group reads its own transposed corner columns).
+    """
+    g, m = corners_a.shape[0], corners_a.shape[1]
+    n = corners_b.shape[1]
+    a = _pad_to(corners_a.reshape(g, m, 8).astype(jnp.float32), TME, 1)
+    bt = jnp.swapaxes(
+        _pad_to(corners_b.reshape(g, n, 8).astype(jnp.float32), TN, 1), 1, 2)
+    mp, np_ = a.shape[1], bt.shape[2]
+    a = a.reshape(g * mp, 8)
+
+    mb = mp // TME
+    grid = (g * mb, np_ // TN)
+    out = pl.pallas_call(
+        _edgeclip_kernel_grouped,
+        out_shape=jax.ShapeDtypeStruct((g * mp, np_), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TME, 8), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, TN), lambda i, j: (i // mb, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TME, TN), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(a, bt)
+    return out.reshape(g, mp, np_)[:, :m, :n]
 
 
 @jax.jit
