@@ -13,10 +13,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import sparse
-from ..ops.roiaware_pool import roiaware_pool3d_multi
+from ..ops.roiaware_pool import roiaware_pool3d_multi_batched
 from .anchors import AnchorHeadTargets
 from .backbones3d import UNetV0, UNetV2
-from .detector3d import post_process_batch
+from .detector3d import merge_overflow_tb, post_process_batch
 from .rpn_head import RPNV2, anchor_head_loss
 from .roi_heads import (FCRCNNModule, SpConvRCNNModule, decode_rcnn_boxes,
                         proposal_layer, proposal_target_layer, rcnn_loss)
@@ -253,16 +253,15 @@ class PartA2Net:
         # per sample on chip (PERF_NOTES round 2)
         roi_pts_cap = int(self.rcnn_cfg.get('ROI_MAX_PTS_PER_ROI', 512))
 
-        def pool_one(rois_i, centers_i, part_i, seg_i, mask_i):
-            pooled_part, pooled_rpn = roiaware_pool3d_multi(
-                rois_i[:, :7], centers_i,
-                [(part_i, 'avg'), (seg_i, 'max')], mask_i,
-                out_size=o, max_pts_per_roi=roi_pts_cap)
-            return pooled_part, pooled_rpn
-
-        pooled_part, pooled_rpn = jax.lax.map(
-            lambda args: pool_one(*args),
-            (rois, voxel_centers, part_features, seg_features, voxel_mask))
+        # batch-parallel: one pooling pass for the whole batch (round-2's
+        # lax.map ran ~0.17 s/sample SERIALLY — the second term of the
+        # Part-A² batch-scaling cliff after the proposal NMS)
+        (pooled_part, pooled_rpn), pool_overflow = \
+            roiaware_pool3d_multi_batched(
+                rois[..., :7], voxel_centers,
+                [(part_features, 'avg'), (seg_features, 'max')], voxel_mask,
+                out_size=o, max_pts_per_roi=roi_pts_cap,
+                return_overflow=True)
         n_roi = rois.shape[1]
         pooled_part = pooled_part.reshape(batch_size * n_roi, o, o, o, -1)
         pooled_rpn = pooled_rpn.reshape(batch_size * n_roi, o, o, o, -1)
@@ -288,6 +287,7 @@ class PartA2Net:
             'roi_labels': roi_labels,
             'roi_valid': (targets['roi_valid'] if train
                           else roi_dict['roi_valid']),
+            'pool_overflow': pool_overflow,
         }
         if targets is not None:
             ret.update({k: v for k, v in targets.items()
@@ -319,6 +319,10 @@ class PartA2Net:
         rcnn_ret, rcnn_stats = self._stage2(variables, ret, batch, train,
                                             jax.random.fold_in(rng, 7))
         ret['rcnn'] = rcnn_ret
+        # cap-overflow telemetry: UNet level caps + RoI compaction cap
+        ovf = dict(ret.get('overflow', {}))
+        ovf['roi_pts'] = rcnn_ret.pop('pool_overflow')
+        ret['overflow'] = ovf
         if train:
             new_stats = {'stage1': stage1_stats, 'rcnn': rcnn_stats}
             return ret, new_stats
@@ -365,6 +369,7 @@ class PartA2Net:
         tb.update(tb_rcnn)
         total = u_loss + rpn_loss + r_loss
         tb['loss'] = total
+        merge_overflow_tb(tb, ret_dict, batch)
         return total, tb
 
     def predict(self, ret_dict):

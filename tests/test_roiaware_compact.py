@@ -57,3 +57,27 @@ def test_compacted_grad_flows():
     g = jax.grad(s)(jnp.asarray(feats))
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_batched_matches_per_sample():
+    """roiaware_pool3d_multi_batched == per-sample roiaware_pool3d_multi."""
+    from pcdet_tpu.ops.roiaware_pool import (roiaware_pool3d_multi,
+                                             roiaware_pool3d_multi_batched)
+    b = 3
+    probs = [_random_problem(10 + i, n_roi=8, p=500) for i in range(b)]
+    rois = jnp.asarray(np.stack([p[0] for p in probs]))
+    pts = jnp.asarray(np.stack([p[1] for p in probs]))
+    feats = jnp.asarray(np.stack([p[2] for p in probs]))
+    mask = jnp.asarray(np.stack([p[3] for p in probs]))
+    f2 = feats[..., :2]
+
+    got = roiaware_pool3d_multi_batched(
+        rois, pts, [(feats, 'avg'), (f2, 'max')], mask,
+        out_size=5, max_pts_per_roi=64)
+    for i in range(b):
+        want = roiaware_pool3d_multi(
+            rois[i], pts[i], [(feats[i], 'avg'), (f2[i], 'max')], mask[i],
+            out_size=5, max_pts_per_roi=64)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g[i]), np.asarray(w),
+                                       atol=1e-5)
