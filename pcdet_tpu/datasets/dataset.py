@@ -189,6 +189,22 @@ class DatasetTemplate:
             'voxel_mask': voxel_mask,
         })
 
+        # cap-overflow telemetry: unique in-range voxels beyond MAX_VOXELS
+        # are silently dropped (the explicit max_voxels contract, reference
+        # dataset.py:162-181); count them so training logs can warn instead
+        # of corrupting accuracy invisibly (surfaced as overflow/voxelizer).
+        if n_vox >= vg.max_voxels:
+            g = vg.grid_size
+            cf = ((points[:, :3] - vg.point_cloud_range[:3])
+                  / vg.voxel_size).astype(np.int64)
+            ok = ((cf >= 0) & (cf < g[None, :])).all(axis=1)
+            c = cf[ok]
+            lin = (c[:, 2] * g[1] + c[:, 1]) * g[0] + c[:, 0]
+            n_unique = len(np.unique(lin))
+            example['voxel_overflow'] = np.int32(max(n_unique - n_vox, 0))
+        else:
+            example['voxel_overflow'] = np.int32(0)
+
         if has_label:
             if not self.training:
                 selected = common.keep_arrays_by_name(gt_names, self.class_names)

@@ -138,21 +138,25 @@ class BackBone8x(nn.Module):
         x1 = SpConvBNReLU(16, name='conv1_0')(x, train)
         x2 = SpConvBNReLU(32, stride=(2, 2, 2), conv_type='spconv',
                           out_cap=caps[0], name='conv2_0')(x1, train)
+        overflow = {'conv2': x2.overflow}     # capture before subm _replace
         x2 = SpConvBNReLU(32, name='conv2_1')(x2, train)
         x2 = SpConvBNReLU(32, name='conv2_2')(x2, train)
         x3 = SpConvBNReLU(64, stride=(2, 2, 2), conv_type='spconv',
                           out_cap=caps[1], name='conv3_0')(x2, train)
+        overflow['conv3'] = x3.overflow
         x3 = SpConvBNReLU(64, name='conv3_1')(x3, train)
         x3 = SpConvBNReLU(64, name='conv3_2')(x3, train)
         x4 = SpConvBNReLU(64, stride=(2, 2, 2), padding=(0, 1, 1),
                           conv_type='spconv', out_cap=caps[2],
                           name='conv4_0')(x3, train)
+        overflow['conv4'] = x4.overflow
         x4 = SpConvBNReLU(64, name='conv4_1')(x4, train)
         x4 = SpConvBNReLU(64, name='conv4_2')(x4, train)
 
         out = SpConvBNReLU(128, kernel=(3, 1, 1), stride=(2, 1, 1),
                            padding=self.last_pad, conv_type='spconv',
                            out_cap=caps[3], name='conv_out')(x4, train)
+        overflow['conv_out'] = out.overflow
 
         dense = sparse.to_dense_batched(out)            # (B, D, H, W, 128)
         b, d, h, w, c = dense.shape
@@ -160,7 +164,7 @@ class BackBone8x(nn.Module):
         # .dense() + view(N, C*D, H, W)
         bev = jnp.transpose(dense, (0, 2, 3, 4, 1)).reshape(b, h, w, c * d)
         return bev, {'x_conv1': x1, 'x_conv2': x2, 'x_conv3': x3,
-                     'x_conv4': x4}
+                     'x_conv4': x4, 'overflow': overflow}
 
 
 class SparseBasicBlock(nn.Module):
@@ -282,21 +286,25 @@ class UNetV2(nn.Module):
         x1 = SpConvBNReLU(16, name='conv1_0')(x, train)
         x2 = SpConvBNReLU(32, stride=(2, 2, 2), conv_type='spconv',
                           out_cap=caps[0], name='conv2_0')(x1, train)
+        overflow = {'conv2': x2.overflow}     # capture before subm _replace
         x2 = SpConvBNReLU(32, name='conv2_1')(x2, train)
         x2 = SpConvBNReLU(32, name='conv2_2')(x2, train)
         x3 = SpConvBNReLU(64, stride=(2, 2, 2), conv_type='spconv',
                           out_cap=caps[1], name='conv3_0')(x2, train)
+        overflow['conv3'] = x3.overflow
         x3 = SpConvBNReLU(64, name='conv3_1')(x3, train)
         x3 = SpConvBNReLU(64, name='conv3_2')(x3, train)
         x4 = SpConvBNReLU(64, stride=(2, 2, 2), padding=(0, 1, 1),
                           conv_type='spconv', out_cap=caps[2],
                           name='conv4_0')(x3, train)
+        overflow['conv4'] = x4.overflow
         x4 = SpConvBNReLU(64, name='conv4_1')(x4, train)
         x4 = SpConvBNReLU(64, name='conv4_2')(x4, train)
 
         out = SpConvBNReLU(128, kernel=(3, 1, 1), stride=(2, 1, 1),
                            padding=self.last_pad, conv_type='spconv',
                            out_cap=caps[3], name='conv_out')(x4, train)
+        overflow['conv_out'] = out.overflow
         dense = sparse.to_dense_batched(out)
         b, d, h, w, c = dense.shape
         bev = jnp.transpose(dense, (0, 2, 3, 4, 1)).reshape(b, h, w, c * d)
@@ -323,6 +331,7 @@ class UNetV2(nn.Module):
             'u_reg_preds': seg_reg_preds,
             'seg_features': seg_features,
             'seg_level': x_up1,
+            'overflow': overflow,
         }
 
 

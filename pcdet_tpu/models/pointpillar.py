@@ -12,7 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .anchors import AnchorHeadTargets
-from .detector3d import decode_single_stage, post_process_batch
+from .detector3d import (decode_single_stage, merge_overflow_tb,
+                         post_process_batch)
 from .pillar_scatter import pillar_scatter
 from .rpn_head import RPNV2, anchor_head_loss
 from .vfe import PillarFeatureNet
@@ -131,6 +132,11 @@ class PointPillar:
         """Detection loss (reference pointpillar.get_training_loss:164-175 via
         AnchorHead.get_loss)."""
         lw = self.cfg.MODEL.LOSSES.LOSS_WEIGHTS
+        loss, tb = self._head_loss(ret_dict, batch, lw)
+        merge_overflow_tb(tb, ret_dict, batch)
+        return loss, tb
+
+    def _head_loss(self, ret_dict, batch, lw):
         return anchor_head_loss(
             ret_dict, self.anchors,
             batch['box_cls_labels'], batch['box_reg_targets'],

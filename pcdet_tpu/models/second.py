@@ -14,7 +14,8 @@ import numpy as np
 from ..ops import sparse
 from .anchors import AnchorHeadTargets
 from .backbones3d import BackBone8x
-from .detector3d import decode_single_stage, post_process_batch
+from .detector3d import (decode_single_stage, merge_overflow_tb,
+                         post_process_batch)
 from .rpn_head import RPNV2, anchor_head_loss
 from .vfe import MeanVFE
 from ..utils.box_coder import ResidualCoder
@@ -60,6 +61,7 @@ class SECONDNetModule(nn.Module):
             num_direction_bins=a.get('num_direction_bins', 2),
             name='rpn_head')(bev, train)
         ret['spatial_features'] = bev
+        ret['overflow'] = encoder_levels['overflow']   # per-cap drop counters
         return ret
 
 
@@ -118,6 +120,11 @@ class SECONDNet:
 
     def loss(self, ret_dict, batch):
         lw = self.cfg.MODEL.LOSSES.LOSS_WEIGHTS
+        loss, tb = self._head_loss(ret_dict, batch, lw)
+        merge_overflow_tb(tb, ret_dict, batch)
+        return loss, tb
+
+    def _head_loss(self, ret_dict, batch, lw):
         return anchor_head_loss(
             ret_dict, self.anchors,
             batch['box_cls_labels'], batch['box_reg_targets'],

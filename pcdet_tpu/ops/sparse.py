@@ -26,7 +26,7 @@ outputs wherever the receptive field touches an input; out-of-grid taps are
 zero; no bias (the reference backbones all use bias=False + BN).
 """
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +42,12 @@ class SparseLevel(NamedTuple):
     coords: jnp.ndarray      # (V, 3) int32 ZYX, -1 padded
     mask: jnp.ndarray        # (V,) bool
     shape: Tuple[int, int, int]   # static (D, H, W)
+    # active sites THIS op's out_cap silently dropped (scalar int32; per-op,
+    # not cumulative — the backbone attributes and accumulates).  The caps
+    # are calibrated on synthetic occupancy (PERF_NOTES round 2); a real
+    # scene exceeding them would corrupt accuracy silently without this
+    # counter.  None where the producing op has no cap (subm/inverse).
+    overflow: Any = None
 
 
 def _triple(x):
@@ -475,13 +481,15 @@ def _strided_out_set(level: SparseLevel, kernel, stride, padding, out_cap):
         (cand_sorted[:1] < INT_MAX),
         (cand_sorted[1:] != cand_sorted[:-1]) & (cand_sorted[1:] < INT_MAX)])
     rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_active = jnp.sum(first.astype(jnp.int32))
+    dropped = jnp.maximum(n_active - out_cap, 0)
     rank = jnp.where(first & (rank < out_cap), rank, out_cap)
     out_ids = jnp.full((out_cap,), INT_MAX, jnp.int32)
     out_ids = out_ids.at[rank].set(cand_sorted, mode='drop')
     out_mask = out_ids < INT_MAX
     out_coords = jnp.where(out_mask[:, None],
                            delinearize(out_ids, out_shape), -1).astype(jnp.int32)
-    return out_ids, out_coords, out_mask, out_shape
+    return out_ids, out_coords, out_mask, out_shape, dropped
 
 
 def sparse_conv3d(level: SparseLevel, weights, kernel=3, stride=2, padding=1,
@@ -492,7 +500,7 @@ def sparse_conv3d(level: SparseLevel, weights, kernel=3, stride=2, padding=1,
     stride = _triple(stride)
     padding = _triple(padding)
     out_cap = out_cap or level.coords.shape[0]
-    out_ids, out_coords, out_mask, out_shape = _strided_out_set(
+    out_ids, out_coords, out_mask, out_shape, dropped = _strided_out_set(
         level, kernel, stride, padding, out_cap)
 
     rows, found = _rules_affine(
@@ -520,7 +528,7 @@ def sparse_conv3d(level: SparseLevel, weights, kernel=3, stride=2, padding=1,
         level, out_mask, rows, found, weights, compute_dtype,
         bwd_builder, (out_ids, level.coords, level.mask))
     return SparseLevel(features=feats, ids=out_ids, coords=out_coords,
-                       mask=out_mask, shape=out_shape)
+                       mask=out_mask, shape=out_shape, overflow=dropped)
 
 
 def inverse_conv3d(level: SparseLevel, target: SparseLevel, weights,
@@ -572,7 +580,7 @@ def sparse_maxpool3d(level: SparseLevel, kernel=3, stride=2, padding=1,
     stride = _triple(stride)
     padding = _triple(padding)
     out_cap = out_cap or level.coords.shape[0]
-    out_ids, out_coords, out_mask, out_shape = _strided_out_set(
+    out_ids, out_coords, out_mask, out_shape, dropped = _strided_out_set(
         level, kernel, stride, padding, out_cap)
 
     rows, found = _rules_affine(
@@ -587,7 +595,7 @@ def sparse_maxpool3d(level: SparseLevel, kernel=3, stride=2, padding=1,
         acc = jnp.maximum(acc, vals)
     feats = jnp.where(out_mask[:, None] & (acc > neg / 2), acc, 0.0)
     return SparseLevel(features=feats, ids=out_ids, coords=out_coords,
-                       mask=out_mask, shape=out_shape)
+                       mask=out_mask, shape=out_shape, overflow=dropped)
 
 
 # ---------------------------------------------------------------------------
@@ -610,13 +618,14 @@ def _vmap_level_op(fn, out_shape, level: SparseLevel, *extra_levels):
             f, ids, c, m = arrays[4 * i: 4 * i + 4]
             levels.append(SparseLevel(f, ids, c, m, shape))
         out = fn(*levels)
-        return out.features, out.ids, out.coords, out.mask
+        # overflow is None (empty pytree) or a scalar -> (B,) after vmap
+        return (out.features, out.ids, out.coords, out.mask), out.overflow
 
     flat = []
     for lv in [level] + list(extra_levels):
         flat += [lv.features, lv.ids, lv.coords, lv.mask]
-    f, ids, c, m = jax.vmap(per_sample)(*flat)
-    return SparseLevel(f, ids, c, m, out_shape)
+    (f, ids, c, m), ovf = jax.vmap(per_sample)(*flat)
+    return SparseLevel(f, ids, c, m, out_shape, overflow=ovf)
 
 
 def conv_out_shape(in_shape, kernel, stride, padding):

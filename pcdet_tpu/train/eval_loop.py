@@ -40,6 +40,7 @@ def eval_one_epoch(model, params, batch_stats, dataloader, cfg,
     start = time.time()
     n_examples = 0
     recall_dev = None
+    overflow_dev = None
 
     def _annotate(host_batch, dev_preds):
         # device->host fetch happens on THIS worker thread, so the main loop
@@ -58,8 +59,10 @@ def eval_one_epoch(model, params, batch_stats, dataloader, cfg,
         for batch in dataloader:
             dev_batch = {k: jax.numpy.asarray(v) for k, v in batch.items()
                          if isinstance(v, np.ndarray) and v.dtype.kind in 'biufc'}
-            preds = eval_forward(params, batch_stats, dev_batch)
+            preds, ovf = eval_forward(params, batch_stats, dev_batch)
             n_examples += batch['batch_size']
+            overflow_dev = ovf if overflow_dev is None else {
+                k: overflow_dev[k] + v for k, v in ovf.items()}
 
             if 'gt_boxes' in dev_batch:
                 # recall accumulates ON DEVICE from the device preds (no
@@ -77,6 +80,16 @@ def eval_one_epoch(model, params, batch_stats, dataloader, cfg,
     if recall_dev is not None:
         for k, v in recall_dev.items():
             recall[k] = recall.get(k, 0) + int(jax.device_get(v))
+
+    overflow = {k: int(jax.device_get(v))
+                for k, v in (overflow_dev or {}).items()}
+    if logger is not None:
+        for k, v in overflow.items():
+            if v > 0:
+                logger.warning(
+                    'CAP OVERFLOW overflow/%s: %d active sites dropped over '
+                    'the eval run — results are TRUNCATED; raise the '
+                    'corresponding cap' % (k, v))
 
     sec_per_example = (time.time() - start) / max(n_examples, 1)
     if logger is not None:
@@ -99,4 +112,5 @@ def eval_one_epoch(model, params, batch_stats, dataloader, cfg,
         logger.info(result_str)
     result_dict['sec_per_example'] = sec_per_example
     result_dict.update({('recall/%s' % k): v for k, v in recall.items()})
+    result_dict.update({('overflow/%s' % k): v for k, v in overflow.items()})
     return result_dict

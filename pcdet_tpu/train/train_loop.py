@@ -80,6 +80,15 @@ def train_model(model, state, tx, train_loader, total_epochs,
                     logger.info('epoch %d iter %d loss %.4f%s' % (
                         epoch, step, tb_host['loss'],
                         (' lr %.6f' % lr) if lr is not None else ''))
+                    for k, v in tb_host.items():
+                        # nonzero overflow/* == a static cap silently
+                        # truncated real data — an ACCURACY bug, be loud
+                        if k.startswith('overflow/') and v > 0:
+                            logger.warning(
+                                'CAP OVERFLOW %s: %d active sites dropped '
+                                'this step — raise the corresponding cap '
+                                '(level_caps / MAX_NUMBER_OF_VOXELS / '
+                                'ROI_MAX_PTS_PER_ROI)' % (k, int(v)))
                 if tb_log is not None:
                     for k, v in tb_host.items():
                         tb_log.add_scalar('train_' + k, v, step)

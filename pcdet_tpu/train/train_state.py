@@ -81,5 +81,14 @@ def make_eval_forward(model):
                                                     train=False)
         ret, _ = model.forward({'params': params, 'batch_stats': batch_stats},
                                batch, train=False)
-        return model.predict(ret)
+        preds = model.predict(ret)
+        # cap-overflow telemetry rides along (accumulated by the eval loop;
+        # eval caps are tighter than train caps, so this is where a real
+        # over-dense scene would silently truncate first)
+        overflow = {k: jnp.asarray(v).sum()
+                    for k, v in (ret.get('overflow') or {}).items()
+                    if v is not None}
+        if 'voxel_overflow' in batch:
+            overflow['voxelizer'] = jnp.asarray(batch['voxel_overflow']).sum()
+        return preds, overflow
     return jax.jit(eval_forward)
