@@ -73,6 +73,65 @@ class KittiDataset(DatasetTemplate):
             w, h = im.size
         return np.array([h, w], dtype=np.int32)
 
+    def get_colored_lidar(self, idx):
+        """Points + the RGB of their image projection: (n, 6) [xyz, rgb]
+        (fork capability `TAG_PTS_WITH_RGB`, reference
+        kitti_dataset.py:94-142).  Faithful to the reference, the color
+        channels are ZEROED (`colors *= 0` at :139 — the fork shipped the
+        projection machinery with the actual colors ablated away)."""
+        lidar_file = os.path.join(self.root_split_path, 'velodyne',
+                                  '%s.bin' % idx)
+        assert os.path.exists(lidar_file), lidar_file
+        pts = np.fromfile(lidar_file, dtype=np.float32).reshape(-1, 4)[:, :3]
+
+        from PIL import Image
+        img_file = os.path.join(self.root_split_path, 'image_2',
+                                '%s.png' % idx)
+        assert os.path.exists(img_file), img_file
+        with Image.open(img_file) as im:
+            img = np.array(im.convert('RGB'), dtype=np.int32)
+        img_shape = img.shape
+
+        calib = self.get_calib(idx)
+        pts_rect = calib.lidar_to_rect(pts)
+        fov_flag = self.get_fov_flag(pts_rect, img_shape, calib)
+        pts_fov = pts[fov_flag]
+
+        img_coords, _ = calib.lidar_to_img(pts_fov)
+        img_coords = img_coords.astype(np.int64)
+        colors = img[img_coords[:, 1], img_coords[:, 0]].astype(np.float32)
+        colors *= 0          # reference :139 (ablated; kept bit-faithful)
+        return np.hstack([pts_fov, colors]).astype(np.float32)
+
+    # BEV-seg GT crop geometry (reference get_bev:164-203)
+    BEV_CLASSES = ('DRIVABLE', 'VEHICLE')
+    BEV_BOUNDS_M = (-50, 0, -25, 25)        # min x, max x, min y, max y
+    BEV_METER_PER_PIXEL = 0.25
+
+    def get_bev(self, idx):
+        """BEV segmentation ground truth: (C, Row, Col) uint masks cropped
+        to BEV_BOUNDS_M around each map's center (reference
+        kitti_dataset.py:164-203; consumed when 'bev' in cfg.MODE)."""
+        from PIL import Image
+        pixel_bnds = (np.asarray(self.BEV_BOUNDS_M)
+                      / self.BEV_METER_PER_PIXEL).astype(np.int64)
+        bevs = []
+        for cls in self.BEV_CLASSES:
+            bev_path = os.path.join(self.root_split_path, 'bev_%s' % cls,
+                                    '%s.png' % idx)
+            assert os.path.exists(bev_path), bev_path
+            with Image.open(bev_path) as im:
+                bev = np.array(im)
+            if bev.ndim == 3:
+                bev = bev[..., 0]
+            rows_center, cols_center = np.asarray(bev.shape[:2]) // 2
+            top, bottom = pixel_bnds[0] + rows_center, \
+                pixel_bnds[1] + rows_center
+            left, right = pixel_bnds[2] + cols_center, \
+                pixel_bnds[3] + cols_center
+            bevs.append(bev[top:bottom, left:right])
+        return np.array(bevs)
+
     def get_label(self, idx):
         label_file = os.path.join(self.root_split_path, 'label_2', '%s.txt' % idx)
         assert os.path.exists(label_file), label_file
@@ -255,7 +314,11 @@ class KittiDataset(DatasetTemplate):
         cfg = self.cfg
         info = copy.deepcopy(self.kitti_infos[index])
         sample_idx = info['point_cloud']['lidar_idx']
-        points = self.get_lidar(sample_idx)
+        if cfg.get('TAG_PTS_WITH_RGB', False):
+            # colored-lidar point painting (reference :707-708)
+            points = self.get_colored_lidar(sample_idx)
+        else:
+            points = self.get_lidar(sample_idx)
         calib = self.get_calib(sample_idx)
         img_shape = info['image']['image_shape']
 
@@ -297,6 +360,12 @@ class KittiDataset(DatasetTemplate):
                                     rng=self.sample_rng(index))
         example['sample_idx'] = sample_idx
         example['image_shape'] = np.asarray(img_shape, dtype=np.int32)
+        if 'bev' in cfg.get('MODE', ''):
+            # BEV-seg GT masks ride the batch into loss_with_bev
+            # (reference :759-761); (C, H, W) -> (H, W, C) channel-last for
+            # bev_seg_loss, binarised to {0, 1}
+            bev = self.get_bev(sample_idx).transpose(1, 2, 0)
+            example['bev'] = (bev > 0).astype(np.float32)
         return example
 
     # -------------------------------------------------------------- eval glue

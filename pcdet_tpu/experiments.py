@@ -166,9 +166,21 @@ class BEVSegEvalAccumulator:
         return tb
 
 
-def training_before_epoch(models_to_freeze=()):
-    """Epoch hook: in the reference this froze the injected segmentation
-    network (experiments.py:11-30).  In the functional JAX runtime, freezing
-    == excluding params from the optimizer; return the param-tree paths to
-    freeze so the trainer can mask them via optax.masked."""
-    return tuple(models_to_freeze)
+def training_before_epoch(cfg, extra_prefixes=()):
+    """Param-freezing hook (reference experiments.py:11-30: before each
+    epoch, `seg_model.eval()` + `requires_grad = False` when an injected
+    semantic network is not being trained).
+
+    In the functional JAX runtime, freezing == routing those params through
+    `optax.set_to_zero` (see optimization.build_optimizer_and_schedule's
+    `frozen_prefixes`): returns the top-level param-path prefixes to freeze.
+    `MODEL.TRAIN.FREEZE_PARAM_PREFIXES` generalises the mechanism to any
+    submodule.
+    """
+    prefixes = list(extra_prefixes)
+    if cfg.get('INJECT_SEMANTICS', False) and not cfg.get(
+            'TRAIN_SEMANTIC_NETWORK', False):
+        prefixes.append('seg_model')
+    train_cfg = cfg.get('MODEL', {}).get('TRAIN', {})
+    prefixes += [str(p) for p in train_cfg.get('FREEZE_PARAM_PREFIXES', [])]
+    return tuple(dict.fromkeys(prefixes))

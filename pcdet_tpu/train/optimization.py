@@ -77,12 +77,40 @@ def warmup_cosine_lr_schedule(base_lr, eta_min, t_max):
     return schedule
 
 
+def _freeze_wrap(tx, frozen_prefixes):
+    """Route params whose top path starts with a frozen prefix through
+    set_to_zero — the functional equivalent of the reference's
+    `requires_grad = False` epoch hook (experiments.training_before_epoch).
+    """
+    if not frozen_prefixes:
+        return tx
+
+    def labels(params):
+        import flax.traverse_util as tu
+        flat = tu.flatten_dict(params)
+        out = {k: ('freeze'
+                   if any('/'.join(str(s) for s in k).startswith(p)
+                          for p in frozen_prefixes) else 'train')
+               for k in flat}
+        return tu.unflatten_dict(out)
+
+    return optax.multi_transform(
+        {'train': tx, 'freeze': optax.set_to_zero()}, labels)
+
+
 def build_optimizer_and_schedule(optim_cfg, total_iters_each_epoch,
-                                 total_epochs):
-    """:return: (optax tx, lr_schedule fn) — tx already folds in grad clipping.
+                                 total_epochs, frozen_prefixes=()):
+    """:return: (optax tx, lr_schedule fn) — tx already folds in grad clipping
+    and (optionally) param freezing by top-level path prefix.
 
     The lr schedule is returned separately for logging.
     """
+    tx, lr_sched = _build_base(optim_cfg, total_iters_each_epoch,
+                               total_epochs)
+    return _freeze_wrap(tx, tuple(frozen_prefixes)), lr_sched
+
+
+def _build_base(optim_cfg, total_iters_each_epoch, total_epochs):
     total_steps = total_iters_each_epoch * total_epochs
     name = optim_cfg.OPTIMIZER
     clip = optax.clip_by_global_norm(float(optim_cfg.GRAD_NORM_CLIP))

@@ -127,8 +127,13 @@ def main():
                                               logger=logger)
 
     iters_each_epoch = max(len(train_loader), 1)
+    from pcdet_tpu.experiments import training_before_epoch
+    frozen = training_before_epoch(cfg)
+    if frozen:
+        logger.info('Freezing param prefixes: %s' % (frozen,))
     tx, lr_schedule = build_optimizer_and_schedule(
-        cfg.MODEL.TRAIN.OPTIMIZATION, iters_each_epoch, args.epochs)
+        cfg.MODEL.TRAIN.OPTIMIZATION, iters_each_epoch, args.epochs,
+        frozen_prefixes=frozen)
     state = create_train_state(variables, tx)
 
     start_epoch = 0
