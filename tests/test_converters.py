@@ -141,6 +141,7 @@ def test_argoverse_tree_and_roundtrip(argo_tree):
     assert inside.sum() == 200, 'converted box does not cover its points'
 
 
+@pytest.mark.slow
 def test_argoverse_infos_and_train_step(argo_tree, tmp_path):
     """create_kitti_infos on the converted tree, then one real train epoch
     through tools/train.py with the shipped argo yaml."""

@@ -39,6 +39,7 @@ def test_differentiable_revoxelization_hook():
     # xyz used only for binning (floor) -> zero gradient there is fine
 
 
+@pytest.mark.slow
 def test_bev_seg_head_in_pointpillar():
     import jax
     import jax.numpy as jnp

@@ -1,7 +1,9 @@
 """FCRCNN head (Part-A²-fc variant): shapes + gradient flow."""
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_fcrcnn_forward_and_grads():
     import jax
     import jax.numpy as jnp

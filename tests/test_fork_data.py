@@ -89,6 +89,7 @@ def test_getitem_with_rgb_and_bev(kitti_root_bev):
     assert ex['bev'].sum() > 0
 
 
+@pytest.mark.slow
 def test_bev_mode_trains_through_loader(kitti_root_bev):
     """MODE='…bev' trains on the mini-KITTI fixture: real BEV GT flows
     loader -> collate -> jitted loss_with_bev, and the BEV head learns."""

@@ -20,6 +20,9 @@ import pytest
 
 from tiny_config import tiny_pointpillar_cfg
 
+# XLA-compile-heavy on a 1-core host; run with -m slow (CI) or full suite
+pytestmark = pytest.mark.slow
+
 
 def _collated_batch(cfg, n=2):
     import jax

@@ -6,8 +6,12 @@ input.  The historical default out_cap == input cap silently truncated it;
 these tests pin the fixed behaviour.
 """
 import numpy as np
+import pytest
 
 from pcdet_tpu.models.backbones3d import _resolve_caps
+
+# XLA-compile-heavy on a 1-core host; run with -m slow (CI) or full suite
+pytestmark = pytest.mark.slow
 
 
 def test_resolve_caps_defaults():

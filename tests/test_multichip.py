@@ -4,6 +4,9 @@ import pytest
 
 from tiny_config import tiny_pointpillar_cfg
 
+# XLA-compile-heavy on a 1-core host; run with -m slow (CI) or full suite
+pytestmark = pytest.mark.slow
+
 
 def test_sharded_train_step_runs_and_syncs():
     import jax

@@ -5,6 +5,7 @@ Every static cap in the pipeline is calibrated on synthetic occupancy; these
 tests prove a scene exceeding a cap is counted, so train/eval logs can warn.
 """
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pcdet_tpu.ops import sparse
@@ -24,6 +25,7 @@ def _dense_level(n_side=8, cap=None):
                                 jnp.asarray(mask), shape)
 
 
+@pytest.mark.slow
 def test_strided_conv_overflow_counts():
     level = _dense_level(8)                      # 512 active
     w = jnp.zeros((27, 4, 8), jnp.float32)
@@ -36,6 +38,7 @@ def test_strided_conv_overflow_counts():
     assert int(tight.overflow) == 64 - 40
 
 
+@pytest.mark.slow
 def test_maxpool_overflow_counts():
     level = _dense_level(8)
     ok = sparse.sparse_maxpool3d(level, kernel=2, stride=2, padding=0,
@@ -46,6 +49,7 @@ def test_maxpool_overflow_counts():
     assert int(tight.overflow) == 14
 
 
+@pytest.mark.slow
 def test_batched_conv_overflow_per_sample():
     lv = _dense_level(8)
     batched = sparse.SparseLevel(

@@ -4,6 +4,9 @@ import pytest
 
 from tiny_config import tiny_parta2_cfg
 
+# XLA-compile-heavy on a 1-core host; run with -m slow (CI) or full suite
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope='module')
 def setup():

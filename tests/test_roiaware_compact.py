@@ -1,9 +1,13 @@
 """Top-k-compacted RoI-aware pooling == exact all-pairs path whenever every
 roi holds <= K in-box points (the production regime; see roiaware_pool3d)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from pcdet_tpu.ops.roiaware_pool import roiaware_pool3d
+
+# XLA-compile-heavy on a 1-core host; run with -m slow (CI) or full suite
+pytestmark = pytest.mark.slow
 
 
 def _random_problem(seed, n_roi=16, p=2000):

@@ -80,6 +80,7 @@ def test_subm_backward_bf16_close(level_and_weights):
     assert np.abs(g32 - g16).max() / scale < 0.03
 
 
+@pytest.mark.slow
 def test_strided_backward_matches_autodiff(level_and_weights):
     """sparse_conv3d's lazy transpose rulebook (inverse-conv geometry) must
     equal XLA autodiff of the naive gather formulation."""
@@ -114,6 +115,7 @@ def test_strided_backward_matches_autodiff(level_and_weights):
                                    atol=3e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_inverse_backward_matches_autodiff(level_and_weights):
     """inverse_conv3d's lazy transpose rulebook (affine geometry) must equal
     XLA autodiff of the naive gather formulation."""

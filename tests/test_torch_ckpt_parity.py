@@ -33,6 +33,9 @@ from pcdet_tpu.config import cfg_from_yaml_file
 from pcdet_tpu.models.build import build_network
 from pcdet_tpu.train import torch_import
 
+# XLA-compile-heavy on a 1-core host; run with -m slow (CI) or full suite
+pytestmark = pytest.mark.slow
+
 RTOL, ATOL = 2e-4, 2e-4
 
 

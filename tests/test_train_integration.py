@@ -7,6 +7,9 @@ import pytest
 
 from tiny_config import tiny_pointpillar_cfg
 
+# XLA-compile-heavy on a 1-core host; run with -m slow (CI) or full suite
+pytestmark = pytest.mark.slow
+
 
 def test_train_two_epochs_ckpt_resume(tmp_path):
     import jax
