@@ -74,6 +74,15 @@ class SpConvBNReLU(nn.Module):
         return out._replace(features=feats)
 
 
+def _effective_dtype(module, train):
+    """Train uses `compute_dtype`; eval prefers `compute_dtype_test` when set
+    (same train/test split as `level_caps`/`level_caps_test`).  Lets configs
+    ship exact-f32 training with bf16 pair-packed inference streaming."""
+    if train:
+        return module.compute_dtype
+    return module.compute_dtype_test or module.compute_dtype
+
+
 def _resolve_caps(cap, level_caps, level_caps_frac, train, n=4):
     """Static per-level voxel caps for (conv2, conv3, conv4, conv_out):
     absolute `level_caps` win; otherwise `level_caps_frac` scales the INPUT
@@ -122,6 +131,7 @@ class BackBone8x(nn.Module):
     level_caps_test: Tuple[int, ...] = ()            # eval-mode absolutes
     level_caps_frac: Tuple[float, ...] = (0., 0., 0., 0.)
     compute_dtype: str = ''
+    compute_dtype_test: str = ''     # eval-only override (like level_caps_test)
 
     @nn.compact
     def __call__(self, level, train: bool):
@@ -129,7 +139,7 @@ class BackBone8x(nn.Module):
         :return: (B, H, W, C*D) dense BEV + encoder levels."""
         from functools import partial
         SpConvBNReLU = partial(globals()['SpConvBNReLU'],
-                               compute_dtype=self.compute_dtype)
+                               compute_dtype=_effective_dtype(self, train))
         cap = level.features.shape[1]
         absolute = (self.level_caps if train or not self.level_caps_test
                     else self.level_caps_test)
@@ -248,14 +258,15 @@ class UNetV2(nn.Module):
     level_caps_test: Tuple[int, ...] = ()            # eval-mode absolutes
     level_caps_frac: Tuple[float, ...] = (0., 0., 0., 0.)
     compute_dtype: str = ''
+    compute_dtype_test: str = ''     # eval-only override (like level_caps_test)
 
     def ur_block(self, x_lateral, x_bottom, planes, inv_cfg, name, train):
         """UR block (rpn_unet.py:414-422): lateral residual block, concat with
         bottom, subm conv, channel-reduced residual add, then up/last conv."""
         from functools import partial
-        SpConvBNReLU = partial(globals()['SpConvBNReLU'],
-                               compute_dtype=self.compute_dtype)
-        x_trans = SparseBasicBlock(planes, compute_dtype=self.compute_dtype,
+        cd = _effective_dtype(self, train)
+        SpConvBNReLU = partial(globals()['SpConvBNReLU'], compute_dtype=cd)
+        x_trans = SparseBasicBlock(planes, compute_dtype=cd,
                                    name=name + '_t')(x_lateral, train)
         cat = x_trans._replace(features=jnp.concatenate(
             [x_bottom.features, x_trans.features], axis=-1))
@@ -277,7 +288,7 @@ class UNetV2(nn.Module):
     def __call__(self, level, train: bool):
         from functools import partial
         SpConvBNReLU = partial(globals()['SpConvBNReLU'],
-                               compute_dtype=self.compute_dtype)
+                               compute_dtype=_effective_dtype(self, train))
         cap = level.features.shape[1]
         absolute = (self.level_caps if train or not self.level_caps_test
                     else self.level_caps_test)

@@ -37,6 +37,7 @@ class PartA2Module(nn.Module):
     level_caps_test: Tuple[int, ...] = ()
     level_caps_frac: Tuple[float, ...] = (0., 0., 0., 0.)
     compute_dtype: str = ''
+    compute_dtype_test: str = ''
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, voxel_mask, train: bool):
@@ -51,6 +52,7 @@ class PartA2Module(nn.Module):
                                  level_caps_test=self.level_caps_test,
                                  level_caps_frac=self.level_caps_frac,
                                  compute_dtype=self.compute_dtype,
+                                 compute_dtype_test=self.compute_dtype_test,
                                  name='unet')(level, train)
         a = self.rpn_args
         ret = RPNV2(
@@ -147,6 +149,8 @@ class PartA2Net:
                                   .get('level_caps_frac', (0., 0., 0., 0.))),
             compute_dtype=str(cfg.MODEL.RPN.BACKBONE.get('ARGS', {})
                               .get('compute_dtype', '')),
+            compute_dtype_test=str(cfg.MODEL.RPN.BACKBONE.get('ARGS', {})
+                                   .get('compute_dtype_test', '')),
         )
         rcnn_cfg = cfg.MODEL.RCNN
         self.rcnn_cfg = rcnn_cfg

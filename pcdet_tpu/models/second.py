@@ -31,6 +31,7 @@ class SECONDNetModule(nn.Module):
     level_caps_test: Tuple[int, ...] = ()
     level_caps_frac: Tuple[float, ...] = (0., 0., 0., 0.)
     compute_dtype: str = ''
+    compute_dtype_test: str = ''
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, voxel_mask, train: bool):
@@ -44,6 +45,7 @@ class SECONDNetModule(nn.Module):
             level_caps_test=self.level_caps_test,
             level_caps_frac=self.level_caps_frac,
             compute_dtype=self.compute_dtype,
+            compute_dtype_test=self.compute_dtype_test,
             name='backbone_3d')(level, train)
         a = self.rpn_args
         ret = RPNV2(
@@ -99,6 +101,8 @@ class SECONDNet:
             level_caps_frac=tuple(backbone_args.get('level_caps_frac',
                                                     (0., 0., 0., 0.))),
             compute_dtype=str(backbone_args.get('compute_dtype', '')),
+            compute_dtype_test=str(backbone_args.get('compute_dtype_test',
+                                                     '')),
         )
 
     def init_variables(self, rng, batch):

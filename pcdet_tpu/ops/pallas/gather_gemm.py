@@ -50,6 +50,81 @@ def _kernel(rules_ref, feats_ref, w_ref, out_ref, g_scratch):
     out_ref[:] = acc
 
 
+# ---------------------------------------------------------------------------
+# bf16 pair-packed variant: Mosaic cannot lower narrow bf16 row loads
+# (vector<1x1xCxbf16>, C < 128), so bf16 streaming packs TWO bf16 channels
+# per int32 word host-side, dynamic-row-loads the (V+1, C/2) int32 table
+# (supported), and unpacks inside the kernel with shift/mask + a SAME-WIDTH
+# i32->f32 bitcast: a bf16's value is exactly the f32 whose top 16 bits are
+# its bits.  Measured 2.07x over the f32 kernel at V=16k, C=64, K=27
+# (scripts/exp_gather_packed.py; rel err ~2.5e-3 — inherent to bf16).
+# ---------------------------------------------------------------------------
+
+def _kernel_packed(rules_ref, featsp_ref, w_ref, out_ref, g_scratch):
+    # featsp_ref: (V+1, C/2) int32 (hi half = channel 2c+1, lo = 2c);
+    # w_ref: (K, 2, C/2, Cout) f32 ([k, 0] even channels, [k, 1] odd);
+    # g_scratch: (TV, C/2) int32.
+    k_taps = w_ref.shape[0]
+    cout = w_ref.shape[3]
+
+    def tap_body(k, acc):
+        for i in range(TV):                     # static unroll
+            row = rules_ref[i, k]
+            g_scratch[i, :] = featsp_ref[row, :]
+        wv = g_scratch[:]
+        lo = jax.lax.bitcast_convert_type(wv << 16, jnp.float32)
+        hi = jax.lax.bitcast_convert_type(
+            wv & jnp.int32(-65536), jnp.float32)
+        acc = acc + jnp.dot(lo, w_ref[k, 0],
+                            preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(hi, w_ref[k, 1],
+                            preferred_element_type=jnp.float32)
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, k_taps, tap_body, jnp.zeros((TV, cout), jnp.float32))
+    out_ref[:] = acc
+
+
+def pack_bf16_pairs(feats_f32):
+    """(N, C) f32 -> (N, C/2) int32, word c = bf16(ch 2c+1) << 16 | bf16(ch 2c)."""
+    fb = feats_f32.astype(jnp.bfloat16)
+    bits = jax.lax.bitcast_convert_type(fb, jnp.uint16).astype(jnp.uint32)
+    return ((bits[:, 1::2] << 16) | bits[:, 0::2]).astype(jnp.int32)
+
+
+def split_weights_packed(w):
+    """(K, Cin, Cout) -> (K, 2, Cin/2, Cout): [k, 0] even-channel rows,
+    [k, 1] odd — matching pack_bf16_pairs' channel interleave."""
+    return jnp.stack([w[:, 0::2, :], w[:, 1::2, :]], axis=1)
+
+
+@jax.jit
+def _gather_matmul_packed_call(feats_packed, rules, weights_split):
+    vp, k = rules.shape
+    cout = weights_split.shape[3]
+    pad = (-vp) % TV
+    if pad:
+        rules = jnp.pad(rules, ((0, pad), (0, 0)),
+                        constant_values=feats_packed.shape[0] - 1)
+    out = pl.pallas_call(
+        _kernel_packed,
+        out_shape=jax.ShapeDtypeStruct((rules.shape[0], cout), jnp.float32),
+        grid=(rules.shape[0] // TV,),
+        in_specs=[
+            pl.BlockSpec((TV, k), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TV, cout), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TV, feats_packed.shape[1]), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(rules, feats_packed, weights_split)
+    return out[:vp]
+
+
 @jax.custom_vjp
 def gather_matmul(features, rules, weights):
     """:param features: (V+1, Cin) f32, last row zeros
@@ -195,10 +270,23 @@ def gather_dw(features, rules, g):
 # Scatter-free subm-conv matmul: backward uses the MIRRORED rulebook
 # ---------------------------------------------------------------------------
 
-def _gm_any(features, rules, weights):
-    """gather+GEMM on either backend (Pallas on TPU, XLA gather on CPU)."""
+def _gm_any(features, rules, weights, packed=False):
+    """gather+GEMM on either backend (Pallas on TPU, XLA gather on CPU).
+
+    packed=True streams the table as bf16 pairs packed in int32 words
+    (TPU: the 2.07x packed kernel; CPU: emulates the same bf16 rounding so
+    numerics tests cover the TPU path's precision)."""
     if jax.default_backend() != 'cpu':
+        if packed and features.shape[1] % 2 == 0:
+            # weights bf16-rounded (stored f32 — they are tiny) so numerics
+            # match the CPU bf16 emulation below
+            w_r = weights.astype(jnp.bfloat16).astype(jnp.float32)
+            return _gather_matmul_packed_call(
+                pack_bf16_pairs(features), rules, split_weights_packed(w_r))
         return _gather_matmul_fwd_only(features, rules, weights)
+    if packed:
+        features = features.astype(jnp.bfloat16)
+        weights = weights.astype(jnp.bfloat16)
     v, k = rules.shape
     cin = features.shape[1]
     gathered = features[rules.reshape(-1)].reshape(v, k * cin)
@@ -216,8 +304,8 @@ def _dw_any(features, rules, g):
                       preferred_element_type=jnp.float32)
 
 
-@jax.custom_vjp
-def gather_matmul_subm(features, rules, rules_mirror, weights):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gather_matmul_subm(features, rules, rules_mirror, weights, packed=False):
     """gather_matmul for SUBMANIFOLD convs (output sites == input sites,
     odd kernel): `rules_mirror` = rules[:, ::-1] is the exact transpose
     rulebook (offset a_{K-1-k} = -a_k), so the feature gradient is ANOTHER
@@ -225,16 +313,19 @@ def gather_matmul_subm(features, rules, rules_mirror, weights):
 
         df[u] = sum_k g[rules[u, K-1-k]] @ W[K-1-k]^T
         dW[k] = feats[rules[:, k]]^T @ g        (gather_dw Pallas kernel)
+
+    `packed` (static) streams features/weights as bf16 (the pair-packed
+    kernel on TPU); dW keeps the f32 table.
     """
-    return _gm_any(features, rules, weights)
+    return _gm_any(features, rules, weights, packed)
 
 
-def _gm_subm_fwd(features, rules, rules_mirror, weights):
-    return _gm_any(features, rules, weights), (features, rules, rules_mirror,
-                                               weights)
+def _gm_subm_fwd(features, rules, rules_mirror, weights, packed):
+    return _gm_any(features, rules, weights, packed), (
+        features, rules, rules_mirror, weights)
 
 
-def _gm_subm_bwd(res, g):
+def _gm_subm_bwd(packed, res, g):
     features, rules, rules_mirror, weights = res
     cin = features.shape[1]
     g_c = g.astype(features.dtype)
@@ -244,7 +335,7 @@ def _gm_subm_bwd(res, g):
     # the MIRRORED rulebook while the weights keep their original tap order
     # (mirroring both would cancel out)
     w_t = jnp.transpose(weights, (0, 2, 1)).astype(features.dtype)
-    df = _gm_any(g_padded, rules_mirror, w_t).astype(features.dtype)
+    df = _gm_any(g_padded, rules_mirror, w_t, packed).astype(features.dtype)
     df = jnp.concatenate([df, jnp.zeros((1, cin), features.dtype)], axis=0)
     dw = _dw_any(features, rules, g_c).astype(weights.dtype)
     return df, None, None, dw

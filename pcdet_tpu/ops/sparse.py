@@ -324,6 +324,115 @@ def _rules_generic(level: SparseLevel, out_coords, out_mask, in_pos_fn,
     return rows.reshape(v, k), found.reshape(v, k)
 
 
+def _rules_inverse(level: SparseLevel, out_coords, out_mask, kernel, stride,
+                   padding):
+    """Rulebook for inverse-conv geometry ``in = (out + pad - tap) / stride``
+    (used by inverse_conv3d and by strided-conv backward), specialised for
+    per-dim (k, s) in {(3, 2), (1, 2), (1, 1)} — every case the shipped
+    backbones produce.
+
+    Structure exploited: with k=3, s=2, tap validity is a PARITY condition —
+    for any output site, per dim either taps {0, 2} are valid (inputs q and
+    q-1, consecutive) or tap {1} alone is (input q, q = (out+pad)//2).  The
+    up-to-27 valid taps therefore all live on the 2x2x2 coarse neighborhood
+    (q_z + dz, q_y + dy, q_x + dx), d in {0, -1} — so ONE `_merge_lookup_ext`
+    over at most 4V queries (x handled by the q/q-1 presence bits) replaces
+    the generic K*V-query lookup: a ~5x cut in rulebook sort size at K=27.
+
+    Falls back to `_rules_generic` for unsupported (k, s) combinations.
+    """
+    kernel = tuple(kernel)
+    stride = tuple(stride)
+    padding = tuple(padding)
+    if any((k, s) not in ((3, 2), (1, 2), (1, 1))
+           for k, s in zip(kernel, stride)):
+        s_arr = jnp.asarray(stride, jnp.int32)
+        p_arr = jnp.asarray(padding, jnp.int32)
+
+        def in_pos(u_coords, tap):
+            num = u_coords + p_arr - jnp.asarray(tap, jnp.int32)
+            ok = (num % s_arr == 0).all(-1) & (num >= 0).all(-1)
+            return num // s_arr, ok
+
+        return _rules_generic(level, out_coords, out_mask, in_pos, kernel)
+
+    offs = _kernel_offsets(kernel)                        # (K, 3) static
+    v = out_coords.shape[0]
+    dims = level.shape                                    # coarse (D, H, W)
+
+    num = out_coords + jnp.asarray(padding, jnp.int32)    # (V, 3)
+    q, even = [], []
+    for d in range(3):
+        if stride[d] == 2:
+            q.append(jnp.floor_divide(num[:, d], 2))
+            even.append(num[:, d] % 2 == 0)
+        else:
+            q.append(num[:, d])
+            even.append(None)                             # parity-free dim
+
+    d_sets = [( (0, -1) if kernel[d] == 3 else (0,) ) for d in range(2)]
+    groups = [(dz, dy) for dz in d_sets[0] for dy in d_sets[1]]
+    queries = []
+    sentinel = jnp.int32(INT_MAX - 8)
+    for dz, dy in groups:
+        z_in = q[0] + dz
+        y_in = q[1] + dy
+        ok = ((z_in >= 0) & (z_in < dims[0])
+              & (y_in >= 0) & (y_in < dims[1]))
+        qid = ((z_in * dims[1] + y_in) * dims[2] + q[2]).astype(jnp.int32)
+        queries.append(jnp.where(ok, qid, sentinel))
+    packed = _merge_lookup_ext(level.ids, jnp.concatenate(queries))
+    packed = packed.reshape(len(groups), v)
+    nrows = level.ids.shape[0]
+    row0, rowm1, f0s, fm1s = {}, {}, {}, {}
+    for g, key in enumerate(groups):
+        pk = packed[g]
+        pr = pk >> 3
+        f0 = (pk >> 2) & 1 > 0
+        row0[key] = jnp.clip(pr - 1, 0, nrows - 1)
+        f0s[key] = f0
+        fm1s[key] = pk & 1 > 0
+        rowm1[key] = jnp.clip(pr - f0.astype(jnp.int32) - 1, 0, nrows - 1)
+
+    def tap_dim(d, t):
+        """-> (d_off, parity_mask or None) for tap offset t on dim d."""
+        if stride[d] == 2 and kernel[d] == 3:
+            if t == 1:
+                return 0, ~even[d]
+            return (0 if t == 0 else -1), even[d]
+        if stride[d] == 2:                                # k == 1
+            return 0, even[d]
+        return 0, None                                    # s == 1
+
+    rows, found = [], []
+    for t in range(offs.shape[0]):
+        tz, ty, tx = (int(offs[t][0]), int(offs[t][1]), int(offs[t][2]))
+        dz, pv_z = tap_dim(0, tz)
+        dy, pv_y = tap_dim(1, ty)
+        dx, pv_x = tap_dim(2, tx)
+        key = (dz, dy)
+        r = rowm1[key] if dx == -1 else row0[key]
+        f = fm1s[key] if dx == -1 else f0s[key]
+        z_in, y_in, x_in = q[0] + dz, q[1] + dy, q[2] + dx
+        ok = ((z_in >= 0) & (z_in < dims[0])
+              & (y_in >= 0) & (y_in < dims[1])
+              & (x_in >= 0) & (x_in < dims[2]))
+        for pv in (pv_z, pv_y, pv_x):
+            if pv is not None:
+                ok = ok & pv
+        rows.append(r)
+        found.append(f & ok & out_mask)
+    return jnp.stack(rows, axis=1), jnp.stack(found, axis=1)
+
+
+def _packed_mode(compute_dtype, cin):
+    """bf16 streaming mode: pair-packed int32 kernel (TPU) / bf16 rounding
+    emulation (CPU).  Requires an even channel count."""
+    return (compute_dtype is not None
+            and jnp.dtype(compute_dtype) == jnp.bfloat16
+            and cin % 2 == 0)
+
+
 def _apply_rules(level: SparseLevel, out_mask, rows, found, weights,
                  compute_dtype=None, mirror=False):
     """Gather neighbour features by the rulebook and contract with the
@@ -337,11 +446,11 @@ def _apply_rules(level: SparseLevel, out_mask, rows, found, weights,
     v, k = rows.shape
     cin = level.features.shape[-1]
     feats = level.features
-    if compute_dtype is not None and jax.default_backend() != 'cpu':
-        # this jaxlib's Mosaic cannot lower narrow bf16 row loads
-        # (vector<1x1xCxbf16>, C < 128) in the gather kernels: bf16
-        # streaming stays a no-op on TPU until Mosaic supports it; the
-        # CPU/XLA path honors it for numerics testing
+    packed = _packed_mode(compute_dtype, cin)
+    if packed or jax.default_backend() != 'cpu':
+        # TPU: Mosaic cannot lower narrow bf16 row loads, so bf16 streaming
+        # runs as the PAIR-PACKED int32 kernel (2.07x measured,
+        # pallas/gather_gemm.py); features stay f32 here — packing casts.
         compute_dtype = None
     if compute_dtype is not None:
         feats = feats.astype(compute_dtype)
@@ -356,16 +465,19 @@ def _apply_rules(level: SparseLevel, out_mask, rows, found, weights,
         feats_padded = jnp.concatenate(
             [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
         out = gather_matmul_subm(feats_padded, rules, rules[:, ::-1],
-                                 weights)
+                                 weights, packed)
     elif jax.default_backend() != 'cpu':
         # Pallas rulebook gather+GEMM: XLA's row-gather slow path costs
         # ~240 ms/layer at V=16k (PERF_NOTES.md); the kernel is ~8x faster.
-        from .pallas.gather_gemm import gather_matmul
+        from .pallas.gather_gemm import _gm_any, gather_matmul
         n_in = feats.shape[0]
         rules = jnp.where(found, rows, n_in)
         feats_padded = jnp.concatenate(
             [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
-        out = gather_matmul(feats_padded, rules, weights)
+        if packed:
+            out = _gm_any(feats_padded, rules, weights, packed=True)
+        else:
+            out = gather_matmul(feats_padded, rules, weights)
     else:
         gathered = feats[rows.reshape(-1)]                # (V*K, Cin)
         gathered = jnp.where(found.reshape(-1)[:, None], gathered,
@@ -388,7 +500,8 @@ def _apply_rules_transpose_bwd(level, out_mask, rows, found, weights,
     from .pallas.gather_gemm import _dw_any, _gm_any
     cin = level.features.shape[-1]
     feats = level.features
-    if compute_dtype is not None and jax.default_backend() != 'cpu':
+    packed = _packed_mode(compute_dtype, cin)
+    if packed or jax.default_backend() != 'cpu':
         compute_dtype = None                    # see _apply_rules
     if compute_dtype is not None:
         feats = feats.astype(compute_dtype)
@@ -401,10 +514,10 @@ def _apply_rules_transpose_bwd(level, out_mask, rows, found, weights,
 
     @jax.custom_vjp
     def apply(fp, w, r, *ba):
-        return _gm_any(fp, r, w)
+        return _gm_any(fp, r, w, packed)
 
     def fwd(fp, w, r, *ba):
-        return _gm_any(fp, r, w), (fp, w, r) + tuple(ba)
+        return _gm_any(fp, r, w, packed), (fp, w, r) + tuple(ba)
 
     def bwd(res, g):
         fp, w, r = res[:3]
@@ -415,7 +528,7 @@ def _apply_rules_transpose_bwd(level, out_mask, rows, found, weights,
         g_p = jnp.concatenate(
             [g_c, jnp.zeros((1, g.shape[1]), g_c.dtype)], axis=0)
         w_t = jnp.transpose(w, (0, 2, 1)).astype(fp.dtype)
-        df = _gm_any(g_p, bwd_rules, w_t).astype(fp.dtype)
+        df = _gm_any(g_p, bwd_rules, w_t, packed).astype(fp.dtype)
         df = jnp.concatenate([df, jnp.zeros((1, fp.shape[1]), fp.dtype)],
                              axis=0)
         dw = _dw_any(fp, r, g_c).astype(w.dtype)
@@ -514,15 +627,8 @@ def sparse_conv3d(level: SparseLevel, weights, kernel=3, stride=2, padding=1,
         tbl = SparseLevel(jnp.zeros((o_ids.shape[0], 0)), o_ids,
                           jnp.zeros((o_ids.shape[0], 3), jnp.int32),
                           o_ids < INT_MAX, out_shape)
-        s_arr = jnp.asarray(stride, jnp.int32)
-        p_arr = jnp.asarray(padding, jnp.int32)
-
-        def in_pos(u_coords, tap):
-            num = u_coords + p_arr - jnp.asarray(tap, jnp.int32)
-            ok = (num % s_arr == 0).all(-1) & (num >= 0).all(-1)
-            return num // s_arr, ok
-
-        return _rules_generic(tbl, in_coords, in_mask, in_pos, kernel)
+        return _rules_inverse(tbl, in_coords, in_mask, kernel, stride,
+                              padding)
 
     feats = _apply_rules_transpose_bwd(
         level, out_mask, rows, found, weights, compute_dtype,
@@ -544,16 +650,8 @@ def inverse_conv3d(level: SparseLevel, target: SparseLevel, weights,
     kernel = _triple(kernel)
     stride = _triple(stride)
     padding = _triple(padding)
-    s = jnp.asarray(stride, jnp.int32)
-    p = jnp.asarray(padding, jnp.int32)
-
-    def in_pos(out_coords, tap):
-        num = out_coords + p - tap
-        ok = (num % s == 0).all(-1) & (num >= 0).all(-1)
-        return num // s, ok
-
-    rows, found = _rules_generic(level, target.coords, target.mask, in_pos,
-                                 kernel)
+    rows, found = _rules_inverse(level, target.coords, target.mask, kernel,
+                                 stride, padding)
 
     def bwd_builder(t_ids, in_coords, in_mask):
         # transpose rulebook: for coarse input u the contributing fine

@@ -172,3 +172,52 @@ def test_to_dense_roundtrip():
     level, dense = _random_level(rng)
     got = np.asarray(sparse.to_dense(level))
     np.testing.assert_allclose(got, dense)
+
+
+def test_rules_inverse_matches_generic():
+    """The parity-specialised inverse rulebook must agree bit-for-bit with
+    the generic K*V-query lookup on every shipped geometry."""
+    import jax.numpy as jnp
+    from pcdet_tpu.ops import sparse
+    rng = np.random.RandomState(7)
+    geoms = [
+        ((3, 3, 3), (2, 2, 2), (1, 1, 1)),
+        ((3, 3, 3), (2, 2, 2), (0, 1, 1)),
+        ((3, 1, 1), (2, 1, 1), (0, 0, 0)),
+        ((3, 1, 1), (2, 1, 1), (1, 0, 0)),
+    ]
+    coarse, _ = _random_level(rng, shape=(5, 7, 6), n_active=50, cap=64)
+    for kernel, stride, padding in geoms:
+        fine_shape = tuple(cs * st for cs, st in zip(coarse.shape, stride))
+        n_out, cap_out = 70, 96
+        total = int(np.prod(fine_shape))
+        ids = rng.choice(total, size=n_out, replace=False)
+        ids.sort()
+        d, h, w = fine_shape
+        out_coords = np.full((cap_out, 3), -1, np.int32)
+        out_coords[:n_out] = np.stack(
+            [ids // (h * w), (ids % (h * w)) // w, ids % w], axis=1)
+        out_mask = np.zeros(cap_out, bool)
+        out_mask[:n_out] = True
+        out_coords = jnp.asarray(out_coords)
+        out_mask = jnp.asarray(out_mask)
+
+        s_arr = jnp.asarray(stride, jnp.int32)
+        p_arr = jnp.asarray(padding, jnp.int32)
+
+        def in_pos(u_coords, tap):
+            num = u_coords + p_arr - jnp.asarray(tap, jnp.int32)
+            ok = (num % s_arr == 0).all(-1) & (num >= 0).all(-1)
+            return num // s_arr, ok
+
+        rows_g, found_g = sparse._rules_generic(
+            coarse, out_coords, out_mask, in_pos, kernel)
+        rows_s, found_s = sparse._rules_inverse(
+            coarse, out_coords, out_mask, kernel, stride, padding)
+        np.testing.assert_array_equal(np.asarray(found_s),
+                                      np.asarray(found_g),
+                                      err_msg=str((kernel, stride, padding)))
+        fg = np.asarray(found_g)
+        np.testing.assert_array_equal(np.asarray(rows_s)[fg],
+                                      np.asarray(rows_g)[fg],
+                                      err_msg=str((kernel, stride, padding)))
