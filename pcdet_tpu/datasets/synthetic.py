@@ -52,13 +52,19 @@ def lidar_ground_rings(rng, num_beams=64, elev_range=(-24.9, -0.5),
 
 def make_scene(rng, class_names, num_objects=8, num_ground=4000,
                pts_per_obj=300, x_range=(5, 60), y_range=(-30, 30),
-               ground_mode='uniform'):
+               ground_mode='uniform', ring_keep=1.0):
     """Random scene: returns points (P, 4), gt_boxes (M, 7), gt_names (M,).
 
     :param ground_mode: 'uniform' scatters `num_ground` points in a z band
         (cheap, used by the overfit tests); 'rings' generates beam-structured
         ground like a real spinning LiDAR (realistic sparse occupancy,
         used by the benchmarks; `num_ground` is ignored).
+    :param ring_keep: fraction of ring returns kept (rings mode).  An ideal
+        ground plane returns every beam sample; real scans lose returns to
+        occlusion, absorption and non-ground hits outside the z-crop, so a
+        full ring raster (~34k pts) overshoots the ~17-20k points real
+        FOV-cropped KITTI scans carry.  ring_keep ~0.35 lands benchmarks at
+        real-scan density.
     """
     boxes, names = [], []
     for _ in range(num_objects):
@@ -97,7 +103,11 @@ def make_scene(rng, class_names, num_objects=8, num_ground=4000,
         pts.append(np.stack([gx, gy, gz, refl], axis=1))
 
     if ground_mode == 'rings':
-        pts.append(lidar_ground_rings(rng))
+        rings = lidar_ground_rings(rng)
+        if ring_keep < 1.0:
+            keep = rng.uniform(size=len(rings)) < ring_keep
+            rings = rings[keep]
+        pts.append(rings)
     else:
         ground = np.stack([
             rng.uniform(0, 69, num_ground),
@@ -122,6 +132,7 @@ class SyntheticDataset(DatasetTemplate):
         self.num_ground = int(syn.get('NUM_GROUND', 4000))
         self.pts_per_obj = int(syn.get('PTS_PER_OBJ', 300))
         self.ground_mode = str(syn.get('GROUND_MODE', 'uniform'))
+        self.ring_keep = float(syn.get('RING_KEEP', 1.0))
         self.seed = seed
 
     def __len__(self):
@@ -133,7 +144,8 @@ class SyntheticDataset(DatasetTemplate):
                                           num_objects=self.num_objects,
                                           num_ground=self.num_ground,
                                           pts_per_obj=self.pts_per_obj,
-                                          ground_mode=self.ground_mode)
+                                          ground_mode=self.ground_mode,
+                                          ring_keep=self.ring_keep)
         return {
             'sample_idx': index,
             'points': points,

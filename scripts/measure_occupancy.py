@@ -44,7 +44,7 @@ def main():
                  ((3, 1, 1), (2, 1, 1), (0, 0, 0))]
         for kernel, stride, padding in specs:
             out = sparse._strided_out_set(lv, kernel, stride, padding, cap)
-            ids2, coords2, mask2, shape2 = out
+            ids2, coords2, mask2, shape2, _dropped = out
             counts.append(int(mask2.sum()))
             lv = sparse.SparseLevel(jnp.zeros((cap, 1)), ids2, coords2,
                                     mask2, shape2)
@@ -53,19 +53,23 @@ def main():
     print('scan  pts    in_vox  conv2  conv3  conv4  out')
     all_counts = []
     densities = [
-        # (label, ground mode, objects, ground pts, pts/obj)
-        ('rings', 'rings', 24, 0, 300),        # real-LiDAR structure
-        ('rings-dense', 'rings', 40, 0, 500),
-        ('uniform', 'uniform', 20, 16000, 300),  # worst-case scatter
-        ('uniform-max', 'uniform', 40, 45000, 500),
+        # (label, ground mode, objects, ground pts, pts/obj, ring_keep)
+        # real-KITTI FOV density: ~17-20k points (rings thinned — real
+        # scans lose returns to occlusion/absorption; synthetic.make_scene)
+        ('kitti-real', 'rings', 24, 0, 400, 0.35),
+        ('rings', 'rings', 24, 0, 300, 1.0),      # full raster (denser)
+        ('rings-dense', 'rings', 40, 0, 500, 1.0),
+        ('uniform', 'uniform', 20, 16000, 300, 1.0),  # worst-case scatter
+        ('uniform-max', 'uniform', 40, 45000, 500, 1.0),
     ]
-    for label, mode, n_obj, n_ground, ppo in densities:
+    for label, mode, n_obj, n_ground, ppo, keep in densities:
         for seed in range(4):
             pts, _, _ = make_scene(np.random.RandomState(seed),
                                    ['Car', 'Pedestrian', 'Cyclist'],
                                    num_objects=n_obj, num_ground=n_ground,
                                    pts_per_obj=ppo, x_range=(3, 68),
-                                   y_range=(-38, 38), ground_mode=mode)
+                                   y_range=(-38, 38), ground_mode=mode,
+                                   ring_keep=keep)
             if os.environ.get('OCC_TRAIN_SHAPES'):
                 # train mode: points shuffled, voxels truncated to 16000 —
                 # a spatially-uniform subsample dilates MORE per voxel
