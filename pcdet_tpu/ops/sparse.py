@@ -48,6 +48,12 @@ class SparseLevel(NamedTuple):
     # scene exceeding them would corrupt accuracy silently without this
     # counter.  None where the producing op has no cap (subm/inverse).
     overflow: Any = None
+    # cached k=(3,3,3) subm rulebook (rows, found) for THIS level's sites —
+    # spconv's "indice key" reuse: every subm conv on the same active set
+    # shares one rulebook (BackBone8x: 8 subm convs -> 4 unique rulebooks;
+    # the UNet decoder inherits the stashed encoder levels' books through
+    # inverse_conv3d).  Populated by the first k3 subm conv on the level.
+    subm_rules: Any = None
 
 
 def _triple(x):
@@ -540,15 +546,26 @@ def _apply_rules_transpose_bwd(level, out_mask, rows, found, weights,
 
 
 def subm_conv3d(level: SparseLevel, weights, kernel=3, compute_dtype=None):
-    """Submanifold conv: output sites == input sites (spconv SubMConv3d)."""
+    """Submanifold conv: output sites == input sites (spconv SubMConv3d).
+
+    The k=(3,3,3) rulebook depends only on the level's active set, so it is
+    cached on the level (`subm_rules`) and reused by every later k3 subm
+    conv on the same sites — spconv's indice-key reuse."""
     kernel = _triple(kernel)
-    pad = tuple(-(kk // 2) for kk in kernel)
-    rows, found = _rules_affine(level, level.coords, level.mask,
-                                level.coords, kernel, pad)
+    cacheable = kernel == (3, 3, 3)
+    if cacheable and level.subm_rules is not None:
+        rows, found = level.subm_rules
+    else:
+        pad = tuple(-(kk // 2) for kk in kernel)
+        rows, found = _rules_affine(level, level.coords, level.mask,
+                                    level.coords, kernel, pad)
     mirror = all(kk % 2 == 1 for kk in kernel)
     feats = _apply_rules(level, level.mask, rows, found, weights,
                          compute_dtype, mirror=mirror)
-    return level._replace(features=feats)
+    out = level._replace(features=feats)
+    if cacheable and level.subm_rules is None:
+        out = out._replace(subm_rules=(rows, found))
+    return out
 
 
 def _strided_out_set(level: SparseLevel, kernel, stride, padding, out_cap):
@@ -667,7 +684,8 @@ def inverse_conv3d(level: SparseLevel, target: SparseLevel, weights,
         level, target.mask, rows, found, weights, compute_dtype,
         bwd_builder, (target.ids, level.coords, level.mask))
     return SparseLevel(features=feats, ids=target.ids, coords=target.coords,
-                       mask=target.mask, shape=target.shape)
+                       mask=target.mask, shape=target.shape,
+                       subm_rules=target.subm_rules)
 
 
 def sparse_maxpool3d(level: SparseLevel, kernel=3, stride=2, padding=1,
@@ -713,17 +731,18 @@ def _vmap_level_op(fn, out_shape, level: SparseLevel, *extra_levels):
     def per_sample(*arrays):
         levels = []
         for i, shape in enumerate(shapes):
-            f, ids, c, m = arrays[4 * i: 4 * i + 4]
-            levels.append(SparseLevel(f, ids, c, m, shape))
+            f, ids, c, m, sr = arrays[5 * i: 5 * i + 5]
+            levels.append(SparseLevel(f, ids, c, m, shape, subm_rules=sr))
         out = fn(*levels)
-        # overflow is None (empty pytree) or a scalar -> (B,) after vmap
-        return (out.features, out.ids, out.coords, out.mask), out.overflow
+        # overflow / subm_rules are None (empty pytree) or arrays -> vmapped
+        return ((out.features, out.ids, out.coords, out.mask), out.overflow,
+                out.subm_rules)
 
     flat = []
     for lv in [level] + list(extra_levels):
-        flat += [lv.features, lv.ids, lv.coords, lv.mask]
-    (f, ids, c, m), ovf = jax.vmap(per_sample)(*flat)
-    return SparseLevel(f, ids, c, m, out_shape, overflow=ovf)
+        flat += [lv.features, lv.ids, lv.coords, lv.mask, lv.subm_rules]
+    (f, ids, c, m), ovf, sr = jax.vmap(per_sample)(*flat)
+    return SparseLevel(f, ids, c, m, out_shape, overflow=ovf, subm_rules=sr)
 
 
 def conv_out_shape(in_shape, kernel, stride, padding):

@@ -221,3 +221,28 @@ def test_rules_inverse_matches_generic():
         np.testing.assert_array_equal(np.asarray(rows_s)[fg],
                                       np.asarray(rows_g)[fg],
                                       err_msg=str((kernel, stride, padding)))
+
+
+def test_subm_rulebook_cache_reused_and_correct():
+    """The first k3 subm conv populates level.subm_rules; a second conv on
+    the same sites reuses it and must produce the same output as a conv on
+    a cache-less level."""
+    import jax.numpy as jnp
+    from pcdet_tpu.ops import sparse
+    rng = np.random.RandomState(9)
+    level, _ = _random_level(rng, cin=6)
+    assert level.subm_rules is None
+    w1 = jnp.asarray(rng.randn(27, 6, 8).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.randn(27, 8, 8).astype(np.float32) * 0.1)
+    out1 = sparse.subm_conv3d(level, w1, kernel=3)
+    assert out1.subm_rules is not None
+    out2 = sparse.subm_conv3d(out1, w2, kernel=3)       # cache hit
+    # reference: same second conv on a stripped (cache-less) level
+    fresh = out1._replace(subm_rules=None)
+    ref2 = sparse.subm_conv3d(fresh, w2, kernel=3)
+    np.testing.assert_allclose(np.asarray(out2.features),
+                               np.asarray(ref2.features), rtol=1e-6)
+    # k=1 convs neither use nor clobber the k3 cache
+    wk1 = jnp.asarray(rng.randn(1, 8, 4).astype(np.float32) * 0.1)
+    out3 = sparse.subm_conv3d(out2, wk1, kernel=1)
+    assert out3.subm_rules is out2.subm_rules
