@@ -95,12 +95,15 @@ def _resolve_caps(cap, level_caps, level_caps_frac, train, n=4):
     truncated conv2/conv3 at train shapes AND wasted 2-4x at conv4/out.
     Fractions > 1 are legitimate for the early strided levels.
     """
-    # Clamps keep configs written for production caps sane at the small
-    # caps used by unit tests: at eval the input cap has headroom over real
-    # scans, so demand never exceeds it (clamp to cap); at train the input
-    # IS truncated at the cap and dilation legitimately exceeds it (clamp
-    # to 4x, beyond the measured 1.9x worst case).
-    bound = 4 * cap if train else cap
+    # The clamp keeps configs written for production caps sane at the small
+    # caps used by unit tests.  It must be > 1x the input cap in BOTH modes:
+    # a strided conv DILATES the active set (measured 1.9x on truncated
+    # train input, 1.33x on eval input), so conv2/conv3 legitimately exceed
+    # the input cap.  4x sits beyond both measured worst cases.  (Round 2
+    # clamped eval to 1x, which silently undid level_caps_test: second.yaml's
+    # 43520 conv2 cap resolved to the 25088 input cap and re-introduced the
+    # ~25% conv2 eval truncation the caps were measured to prevent.)
+    bound = 4 * cap
     caps = []
     for i in range(n):
         a = level_caps[i] if i < len(level_caps) else 0

@@ -28,12 +28,23 @@ def test_resolve_caps_fracs_scale_with_input_cap():
 
 
 def test_resolve_caps_clamps():
-    # eval: demand never exceeds the input cap (real scans leave headroom)
+    # the clamp (4x input cap, BOTH modes) keeps production absolutes sane
+    # at tiny unit-test input caps...
     caps = _resolve_caps(2048, (30720, 24576, 12288, 10240), (0.,) * 4, False)
-    assert caps == [2048] * 4
-    # train: dilation legitimately exceeds the cap, bounded at 4x
+    assert caps == [4 * 2048, 4 * 2048, 4 * 2048, 4 * 2048]
     caps = _resolve_caps(2048, (0, 0, 0), (8.0, 0., 0., 0.), True)
     assert caps[0] == 4 * 2048
+
+
+def test_resolve_caps_eval_absolutes_not_clamped_at_production_cap():
+    """Regression: round 2 clamped eval caps to 1x the input cap, which
+    silently undid second.yaml's measured level_caps_test — conv2's 43520
+    (measured 33.3k dilation x1.3) resolved to the 25088 input cap and
+    re-introduced ~25% conv2 eval truncation.  Dilation exceeds 1x by
+    measurement, so the eval bound must leave headroom."""
+    caps = _resolve_caps(25088, (43520, 29184, 12288, 10240), (0.,) * 4,
+                         False)
+    assert caps == [43520, 29184, 12288, 10240]
 
 
 def test_strided_conv_dilation_not_truncated():
