@@ -231,12 +231,12 @@ def _rules_affine(level, out_coords, out_mask, base_coords, kernel,
     # one merged lookup for all group-mid taps
     mid_consts = [int((offs[g * kw + mid][0] * h + offs[g * kw + mid][1]) * w
                       + offs[g * kw + mid][2]) for g in range(n_groups)]
-    queries = jnp.concatenate([base_id + c for c in mid_consts])
 
     rows_by_tap = {}
     found_by_tap = {}
     if kw in (1, 3):
         # scan-based presence bits for q-1/q/q+1: no per-element gathers
+        queries = jnp.concatenate([base_id + c for c in mid_consts])
         packed = _merge_lookup_ext(level.ids, queries).reshape(n_groups, v)
         for g in range(n_groups):
             pk = packed[g]
@@ -254,6 +254,7 @@ def _rules_affine(level, out_coords, out_mask, base_coords, kernel,
                 rows_by_tap[g * kw + mid - 1] = jnp.clip(pos_l - 1, 0, v - 1)
                 found_by_tap[g * kw + mid - 1] = fm1
     else:
+        queries = jnp.concatenate([base_id + c for c in mid_consts])
         pos_right = _merge_pos_right(level.ids, queries).reshape(n_groups, v)
         for g in range(n_groups):
             q_mid = base_id + mid_consts[g]
@@ -378,6 +379,10 @@ def _rules_inverse(level: SparseLevel, out_coords, out_mask, kernel, stride,
 
     d_sets = [( (0, -1) if kernel[d] == 3 else (0,) ) for d in range(2)]
     groups = [(dz, dy) for dz in d_sets[0] for dy in d_sets[1]]
+    # NOTE: coarse qids are NOT sorted over the fine out rows (the stride's
+    # floor division collapses z, after which y order is arbitrary), so the
+    # bitonic-merge shortcut of the affine path does not apply — this stays
+    # one global sort (already parity-collapsed to <= 4V queries).
     queries = []
     sentinel = jnp.int32(INT_MAX - 8)
     for dz, dy in groups:
@@ -569,16 +574,30 @@ def subm_conv3d(level: SparseLevel, weights, kernel=3, compute_dtype=None):
 
 
 def _strided_out_set(level: SparseLevel, kernel, stride, padding, out_cap):
-    """Active output set of a strided conv/pool: every output position whose
-    receptive field touches an active input — sort + run-length unique of
-    each input's <= prod(ceil(k/s)) candidate outputs."""
+    """Active output set AND forward rulebook of a strided conv/pool.
+
+    The output set is every position whose receptive field touches an
+    active input: sort + run-length unique of each input's
+    <= prod(ceil(k/s)) candidate outputs.  Every valid candidate IS a
+    rulebook entry — it names (input row, output position, tap), and for a
+    fixed (output, tap) the contributing input is unique — so carrying
+    ``tap*V + input_row`` through the candidate sort yields the forward
+    rulebook with ONE extra scatter, replacing the separate
+    (V_in + groups*V_out)-element lookup sort `_rules_affine` would need
+    (the largest sort in the backbone at conv2 shapes).
+
+    :return: (out_ids, out_coords, out_mask, out_shape, dropped,
+              rows (out_cap, K) int32, found (out_cap, K) bool) — rows/found
+              in `_kernel_offsets` tap order, matching the weight layout.
+    """
     v = level.coords.shape[0]
     out_shape = tuple((level.shape[i] + 2 * padding[i] - kernel[i])
                       // stride[i] + 1 for i in range(3))
+    kd, kh, kw = kernel
+    k_total = kd * kh * kw
 
     # candidate outputs per input: o in [ceil((i+p-k+1)/s), floor((i+p)/s)]
     ncand = tuple(-(-kernel[i] // stride[i]) for i in range(3))
-    cand_list = []
     i_c = level.coords
     o_lo, o_hi = [], []
     for d in range(3):
@@ -587,8 +606,12 @@ def _strided_out_set(level: SparseLevel, kernel, stride, padding, out_cap):
         o_lo.append(lo)
         o_hi.append(hi)
 
+    pad_arr = jnp.asarray(padding, jnp.int32)
+    str_arr = jnp.asarray(stride, jnp.int32)
     cand_coords = []
     cand_valid = []
+    cand_origin = []
+    in_row = jnp.arange(v, dtype=jnp.int32)
     for dz in range(ncand[0]):
         for dy in range(ncand[1]):
             for dx in range(ncand[2]):
@@ -601,25 +624,42 @@ def _strided_out_set(level: SparseLevel, kernel, stride, padding, out_cap):
                        & (ox < out_shape[2]) & level.mask)
                 cand_coords.append(jnp.stack([oz, oy, ox], axis=-1))
                 cand_valid.append(val)
+                # tap t satisfies in = out*s - p + t
+                tz = i_c[:, 0] + pad_arr[0] - oz * str_arr[0]
+                ty = i_c[:, 1] + pad_arr[1] - oy * str_arr[1]
+                tx = i_c[:, 2] + pad_arr[2] - ox * str_arr[2]
+                tl = (tz * kh + ty) * kw + tx
+                cand_origin.append(tl * v + in_row)
     cand_coords = jnp.concatenate(cand_coords, axis=0)        # (V*ncand, 3)
     cand_valid = jnp.concatenate(cand_valid, axis=0)
+    cand_origin = jnp.concatenate(cand_origin, axis=0)
 
     cand_ids = linearize(cand_coords, out_shape)
     cand_ids = jnp.where(cand_valid, cand_ids, INT_MAX).astype(jnp.int32)
-    cand_sorted = jnp.sort(cand_ids)
+    cand_sorted, origin_s = jax.lax.sort((cand_ids, cand_origin), num_keys=1)
     first = jnp.concatenate([
         (cand_sorted[:1] < INT_MAX),
         (cand_sorted[1:] != cand_sorted[:-1]) & (cand_sorted[1:] < INT_MAX)])
-    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    run_rank = jnp.cumsum(first.astype(jnp.int32)) - 1    # out row per cand
     n_active = jnp.sum(first.astype(jnp.int32))
     dropped = jnp.maximum(n_active - out_cap, 0)
-    rank = jnp.where(first & (rank < out_cap), rank, out_cap)
+    rank = jnp.where(first & (run_rank < out_cap), run_rank, out_cap)
     out_ids = jnp.full((out_cap,), INT_MAX, jnp.int32)
     out_ids = out_ids.at[rank].set(cand_sorted, mode='drop')
     out_mask = out_ids < INT_MAX
     out_coords = jnp.where(out_mask[:, None],
                            delinearize(out_ids, out_shape), -1).astype(jnp.int32)
-    return out_ids, out_coords, out_mask, out_shape, dropped
+
+    # rulebook: every kept valid candidate scatters its input row into its
+    # output row's tap slot ((out, tap) pairs are unique by construction)
+    keep = (cand_sorted < INT_MAX) & (run_rank < out_cap)
+    slot = jnp.where(keep, run_rank * k_total + origin_s // v,
+                     out_cap * k_total)
+    rows = jnp.zeros(out_cap * k_total, jnp.int32).at[
+        slot].set(origin_s % v, mode='drop').reshape(out_cap, k_total)
+    found = jnp.zeros(out_cap * k_total, bool).at[
+        slot].set(True, mode='drop').reshape(out_cap, k_total)
+    return out_ids, out_coords, out_mask, out_shape, dropped, rows, found
 
 
 def sparse_conv3d(level: SparseLevel, weights, kernel=3, stride=2, padding=1,
@@ -630,13 +670,8 @@ def sparse_conv3d(level: SparseLevel, weights, kernel=3, stride=2, padding=1,
     stride = _triple(stride)
     padding = _triple(padding)
     out_cap = out_cap or level.coords.shape[0]
-    out_ids, out_coords, out_mask, out_shape, dropped = _strided_out_set(
-        level, kernel, stride, padding, out_cap)
-
-    rows, found = _rules_affine(
-        level, out_coords, out_mask,
-        out_coords * jnp.asarray(stride, jnp.int32), kernel,
-        tuple(-p for p in padding))
+    out_ids, out_coords, out_mask, out_shape, dropped, rows, found = \
+        _strided_out_set(level, kernel, stride, padding, out_cap)
 
     def bwd_builder(o_ids, in_coords, in_mask):
         # transpose rulebook: for input u the contributing outputs sit at
@@ -696,13 +731,8 @@ def sparse_maxpool3d(level: SparseLevel, kernel=3, stride=2, padding=1,
     stride = _triple(stride)
     padding = _triple(padding)
     out_cap = out_cap or level.coords.shape[0]
-    out_ids, out_coords, out_mask, out_shape, dropped = _strided_out_set(
-        level, kernel, stride, padding, out_cap)
-
-    rows, found = _rules_affine(
-        level, out_coords, out_mask,
-        out_coords * jnp.asarray(stride, jnp.int32), kernel,
-        tuple(-p for p in padding))
+    out_ids, out_coords, out_mask, out_shape, dropped, rows, found = \
+        _strided_out_set(level, kernel, stride, padding, out_cap)
     neg = jnp.finfo(level.features.dtype).min
     acc = jnp.full((out_coords.shape[0], level.features.shape[-1]), neg,
                    level.features.dtype)
