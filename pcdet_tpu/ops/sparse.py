@@ -550,6 +550,121 @@ def _apply_rules_transpose_bwd(level, out_mask, rows, found, weights,
     return out * out_mask[:, None].astype(out.dtype)
 
 
+def _rules_subm(level: SparseLevel, kernel):
+    """Subm rulebook (out sites == in sites, odd kernel) via ANTISYMMETRY:
+    the rule set is self-transpose under tap negation — entry (out i, tap o)
+    pairing sites t_j = t_i + lin(o) IS entry (out j, tap -o) — so only the
+    lex-positive half of the (dz, dy) tap groups needs the merged-sort
+    lookup.  The negative half is ONE packed transpose scatter, the center
+    tap is the identity, and the center group's x = +-1 taps are pure shift
+    comparisons on the sorted ids (consecutive ids occupy consecutive
+    rows).  For k=(3,3,3) the lookup sort shrinks from (1+9)V to (1+4)V
+    elements; k=1 kernels need NO sort at all.
+
+    :return: rows (V, K) int32 clamped to [0, V-1], found (V, K) bool —
+             `_kernel_offsets` tap order, identical to `_rules_affine`.
+    """
+    kd, kh, kw = kernel
+    if any(kk not in (1, 3) for kk in kernel):
+        pad = tuple(-(kk // 2) for kk in kernel)
+        return _rules_affine(level, level.coords, level.mask, level.coords,
+                             kernel, pad)
+    offs = _kernel_offsets(kernel)
+    k_total = offs.shape[0]
+    v = level.coords.shape[0]
+    d, h, w = level.shape
+    ids, mask = level.ids, level.mask
+    shape_arr = jnp.asarray(level.shape, jnp.int32)
+    center = np.asarray([kd // 2, kh // 2, kw // 2], np.int32)
+    eoffs = offs - center                                  # (K, 3) in -1..1
+
+    # per-dim bounds masks, computed once per distinct offset value
+    dim_ok = []
+    for dd in range(3):
+        cache = {}
+        for o in sorted({int(t[dd]) for t in eoffs}):
+            c = level.coords[:, dd] + o
+            cache[o] = (c >= 0) & (c < shape_arr[dd])
+        dim_ok.append(cache)
+
+    def inb(t):
+        ez, ey, ex = int(eoffs[t][0]), int(eoffs[t][1]), int(eoffs[t][2])
+        return dim_ok[0][ez] & dim_ok[1][ey] & dim_ok[2][ex]
+
+    idx = jnp.arange(v, dtype=jnp.int32)
+    rows_by_tap, found_by_tap = {}, {}
+    tap_of = {(int(e[0]), int(e[1]), int(e[2])): t
+              for t, e in enumerate(eoffs)}
+
+    # center group: identity + shift comparisons (sorted unique ids make
+    # id+-1 neighbours live at row +-1 exactly when present)
+    rows_by_tap[tap_of[(0, 0, 0)]] = idx
+    found_by_tap[tap_of[(0, 0, 0)]] = mask
+    if kw == 3:
+        nxt = jnp.concatenate([ids[1:], jnp.full((1,), INT_MAX, jnp.int32)])
+        t = tap_of[(0, 0, 1)]
+        rows_by_tap[t] = jnp.clip(idx + 1, 0, v - 1)
+        found_by_tap[t] = (nxt == ids + 1) & mask & inb(t)
+        prv = jnp.concatenate([jnp.full((1,), INT_MAX, jnp.int32), ids[:-1]])
+        t = tap_of[(0, 0, -1)]
+        rows_by_tap[t] = jnp.clip(idx - 1, 0, v - 1)
+        found_by_tap[t] = (prv == ids - 1) & mask & inb(t)
+
+    # lex-positive (dz, dy) groups: merged-sort lookup (as _rules_affine)
+    pos_groups = sorted({(int(e[0]), int(e[1])) for e in eoffs
+                         if (int(e[0]), int(e[1])) > (0, 0)})
+    if pos_groups:
+        # masked rows have ids == INT_MAX; clamp before the +const shift to
+        # avoid int32 overflow (their results are masked out anyway)
+        base_q = jnp.minimum(ids, jnp.int32(INT_MAX // 2))
+        consts = [(gz * h + gy) * w for gz, gy in pos_groups]
+        queries = jnp.concatenate([base_q + c for c in consts])
+        packed = _merge_lookup_ext(ids, queries).reshape(len(pos_groups), v)
+        for g, (gz, gy) in enumerate(pos_groups):
+            pk = packed[g]
+            pr = pk >> 3
+            f0 = (pk >> 2) & 1 > 0
+            fp1 = (pk >> 1) & 1 > 0
+            fm1 = pk & 1 > 0
+            pos_l = pr - f0.astype(jnp.int32)
+            entries = [((gz, gy, 0), jnp.clip(pr - 1, 0, v - 1), f0)]
+            if kw == 3:
+                entries += [
+                    ((gz, gy, 1), jnp.clip(pos_l + f0.astype(jnp.int32),
+                                           0, v - 1), fp1),
+                    ((gz, gy, -1), jnp.clip(pos_l - 1, 0, v - 1), fm1)]
+            for key, r, f in entries:
+                t = tap_of[key]
+                rows_by_tap[t] = r
+                found_by_tap[t] = f & inb(t) & mask
+
+    # negative groups: transpose of the positive half — entry (i -> j) at
+    # tap o becomes (j -> i) at tap -o; one packed scatter for all of them
+    neg_taps = [t for t, e in enumerate(eoffs)
+                if (int(e[0]), int(e[1])) < (0, 0)]
+    if neg_taps:
+        slot_of = {t: s for s, t in enumerate(neg_taps)}
+        dst, src = [], []
+        for t_neg in neg_taps:
+            e = eoffs[t_neg]
+            t_pos = tap_of[(-int(e[0]), -int(e[1]), -int(e[2]))]
+            r, f = rows_by_tap[t_pos], found_by_tap[t_pos]
+            dst.append(jnp.where(f, slot_of[t_neg] * v + r,
+                                 len(neg_taps) * v))
+            src.append(idx * 2 + 1)
+        pk = jnp.zeros(len(neg_taps) * v, jnp.int32).at[
+            jnp.concatenate(dst)].set(jnp.concatenate(src), mode='drop')
+        pk = pk.reshape(len(neg_taps), v)
+        for t_neg in neg_taps:
+            s = slot_of[t_neg]
+            rows_by_tap[t_neg] = pk[s] >> 1
+            found_by_tap[t_neg] = (pk[s] & 1) > 0
+
+    rows = jnp.stack([rows_by_tap[t] for t in range(k_total)], axis=1)
+    found = jnp.stack([found_by_tap[t] for t in range(k_total)], axis=1)
+    return rows, found
+
+
 def subm_conv3d(level: SparseLevel, weights, kernel=3, compute_dtype=None):
     """Submanifold conv: output sites == input sites (spconv SubMConv3d).
 
@@ -561,9 +676,7 @@ def subm_conv3d(level: SparseLevel, weights, kernel=3, compute_dtype=None):
     if cacheable and level.subm_rules is not None:
         rows, found = level.subm_rules
     else:
-        pad = tuple(-(kk // 2) for kk in kernel)
-        rows, found = _rules_affine(level, level.coords, level.mask,
-                                    level.coords, kernel, pad)
+        rows, found = _rules_subm(level, kernel)
     mirror = all(kk % 2 == 1 for kk in kernel)
     feats = _apply_rules(level, level.mask, rows, found, weights,
                          compute_dtype, mirror=mirror)

@@ -52,3 +52,41 @@ def test_merge_lookup_ext_bits():
             fm1 = (qq - 1) in table
             expect = pos_right * 8 + f0 * 4 + fp1 * 2 + fm1
             assert packed[j] == expect, (trial, j, qq)
+
+
+def test_rules_subm_matches_affine():
+    """The antisymmetry-based subm rulebook (half the groups sorted, the
+    rest transposed/shifted) must equal the full affine lookup bit-for-bit
+    on every supported kernel."""
+    import jax.numpy as jnp
+    from pcdet_tpu.ops import sparse
+
+    rng = np.random.RandomState(11)
+    for kernel in [(3, 3, 3), (1, 1, 1), (3, 1, 1), (1, 1, 3), (1, 3, 3)]:
+        for trial in range(3):
+            shape = (5, 13, 11)
+            v = 96
+            n = int(rng.randint(10, 80))
+            total = shape[0] * shape[1] * shape[2]
+            ids = np.sort(rng.choice(total, n, replace=False)).astype(np.int32)
+            ids = np.concatenate([ids, np.full(v - n, sparse.INT_MAX,
+                                               np.int32)])
+            mask = np.zeros(v, bool)
+            mask[:n] = True
+            z = ids[:n] // (shape[1] * shape[2])
+            rem = ids[:n] % (shape[1] * shape[2])
+            coords = np.full((v, 3), -1, np.int32)
+            coords[:n] = np.stack([z, rem // shape[2], rem % shape[2]], -1)
+            level = sparse.SparseLevel(
+                jnp.zeros((v, 2)), jnp.asarray(ids), jnp.asarray(coords),
+                jnp.asarray(mask), shape)
+            pad = tuple(-(kk // 2) for kk in kernel)
+            rows_a, found_a = sparse._rules_affine(
+                level, level.coords, level.mask, level.coords, kernel, pad)
+            rows_s, found_s = sparse._rules_subm(level, kernel)
+            fa, fs = np.asarray(found_a), np.asarray(found_s)
+            np.testing.assert_array_equal(fs, fa,
+                                          err_msg=str((kernel, trial)))
+            np.testing.assert_array_equal(np.asarray(rows_s)[fa],
+                                          np.asarray(rows_a)[fa],
+                                          err_msg=str((kernel, trial)))
