@@ -21,6 +21,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TV = 64          # output rows per program (static unroll bound)
+INTERPRET = False   # tests set True to run kernels in interpret mode on CPU
 
 
 def _kernel(rules_ref, feats_ref, w_ref, out_ref, g_scratch):
@@ -84,6 +85,128 @@ def _kernel_packed(rules_ref, featsp_ref, w_ref, out_ref, g_scratch):
     acc = jax.lax.fori_loop(
         0, k_taps, tap_body, jnp.zeros((TV, cout), jnp.float32))
     out_ref[:] = acc
+
+
+# ---------------------------------------------------------------------------
+# x-window variant: one (3, Cin) block load per (dz, dy) tap group
+#
+# Every kw=3 rulebook in ops.sparse satisfies the x-window property
+# (sparse._xwin_selectors): the three x-taps of a tap group query ids q-1,
+# q, q+1, whose present rows are CONSECUTIVE in the sorted table.  So the
+# 27 per-row loads per output collapse to 9 dynamic (3, Cin) block loads;
+# cheap VPU selects (2-bit offsets from the packed selector word)
+# distribute the 3 window rows to the 3 taps, and each group contracts as
+# ONE (TV, 3*Cin) MXU dot.  Load issue count — the f32/packed kernels'
+# bottleneck — drops 3x.
+# ---------------------------------------------------------------------------
+
+def _xwin_select(wv, selv, zero):
+    """wv: (TV, 3, C) window rows; selv: (TV,) packed 2-bit offsets.
+    -> (TV, 3*C): per x-tap dx, row `off_dx` of the window (off 3 = miss ->
+    zero).  Misses select nothing because off==3 matches no j."""
+    parts = []
+    for dx in range(3):
+        off = (selv >> (2 * dx)) & 3            # (TV,)
+        s = zero
+        for j in range(3):
+            m = (off == j)[:, None]
+            s = s + jnp.where(m, wv[:, j, :], zero)
+        parts.append(s)
+    return jnp.concatenate(parts, axis=1)
+
+
+def _kernel_xwin(base_ref, sel_ref, feats_ref, w_ref, out_ref, blk):
+    """base_ref: (TV, G) SMEM window starts; sel_ref: (TV, G) VMEM packed
+    offsets; feats_ref: (V+2, Cin) VMEM (last 2 rows zero); w_ref:
+    (G, 3*Cin, Cout); blk: (3*TV, Cin) scratch."""
+    g_groups = w_ref.shape[0]
+    cin = feats_ref.shape[1]
+    cout = w_ref.shape[2]
+    tv = out_ref.shape[0]
+    selv_all = sel_ref[:]
+    acc = jnp.zeros((tv, cout), jnp.float32)
+    zero = jnp.zeros((tv, cin), feats_ref.dtype)
+    prec = (jax.lax.Precision.DEFAULT if feats_ref.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    for g in range(g_groups):                   # static unroll
+        for i in range(tv):
+            blk[3 * i:3 * i + 3, :] = feats_ref[pl.ds(base_ref[i, g], 3), :]
+        wv = blk[:].reshape(tv, 3, cin)
+        sp = _xwin_select(wv, selv_all[:, g], zero)
+        acc = acc + jnp.dot(sp, w_ref[g], preferred_element_type=jnp.float32,
+                            precision=prec)
+    out_ref[:] = acc
+
+
+def _kernel_xwin_packed(base_ref, sel_ref, featsp_ref, w_ref, out_ref, blk):
+    """Packed bf16-pairs x-window kernel.  featsp_ref: (V+2, Cin/2) int32;
+    w_ref: (G, 2, 3*Cin/2, Cout) ([g, 0] even channels, [g, 1] odd)."""
+    g_groups = w_ref.shape[0]
+    c2 = featsp_ref.shape[1]
+    cout = w_ref.shape[3]
+    tv = out_ref.shape[0]
+    selv_all = sel_ref[:]
+    acc = jnp.zeros((tv, cout), jnp.float32)
+    zero = jnp.zeros((tv, c2), jnp.int32)
+    for g in range(g_groups):                   # static unroll
+        for i in range(tv):
+            blk[3 * i:3 * i + 3, :] = featsp_ref[pl.ds(base_ref[i, g], 3), :]
+        wv = blk[:].reshape(tv, 3, c2)
+        sp = _xwin_select(wv, selv_all[:, g], zero)
+        lo = jax.lax.bitcast_convert_type(sp << 16, jnp.float32)
+        hi = jax.lax.bitcast_convert_type(sp & jnp.int32(-65536), jnp.float32)
+        acc = acc + jnp.dot(lo, w_ref[g, 0],
+                            preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(hi, w_ref[g, 1],
+                            preferred_element_type=jnp.float32)
+    out_ref[:] = acc
+
+
+@jax.jit
+def _gather_matmul_xwin_call(feats, base, sel, weights_grouped):
+    """feats: (V+2, Cin) f32/int32-packed (last 2 rows zero); base/sel:
+    (V, G) int32; weights_grouped: (G, 3*Cin, Cout) f32 or
+    (G, 2, 3*Cin/2, Cout) for the packed table."""
+    vp, g = base.shape
+    packed = feats.dtype == jnp.int32
+    cout = weights_grouped.shape[-1]
+    pad = (-vp) % TV
+    if pad:
+        base = jnp.pad(base, ((0, pad), (0, 0)))
+        sel = jnp.pad(sel, ((0, pad), (0, 0)), constant_values=0x3f)
+    out = pl.pallas_call(
+        _kernel_xwin_packed if packed else _kernel_xwin,
+        out_shape=jax.ShapeDtypeStruct((base.shape[0], cout), jnp.float32),
+        grid=(base.shape[0] // TV,),
+        in_specs=[
+            pl.BlockSpec((TV, g), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TV, g), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TV, cout), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((3 * TV, feats.shape[1]), feats.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(base, sel, feats, weights_grouped)
+    return out[:vp]
+
+
+def group_weights_x(w):
+    """(K, Cin, Cout) -> (K//3, 3*Cin, Cout): per-group tap-major rows."""
+    k, cin, cout = w.shape
+    return w.reshape(k // 3, 3 * cin, cout)
+
+
+def group_weights_x_packed(w):
+    """(K, Cin, Cout) -> (G, 2, 3*Cin/2, Cout) for the packed x-window
+    kernel ([g, 0] = even channels of the 3 taps, [g, 1] = odd)."""
+    k, cin, cout = w.shape
+    we = w[:, 0::2, :].reshape(k // 3, 3 * (cin // 2), cout)
+    wo = w[:, 1::2, :].reshape(k // 3, 3 * (cin // 2), cout)
+    return jnp.stack([we, wo], axis=1)
 
 
 def pack_bf16_pairs(feats_f32):
@@ -270,13 +393,29 @@ def gather_dw(features, rules, g):
 # Scatter-free subm-conv matmul: backward uses the MIRRORED rulebook
 # ---------------------------------------------------------------------------
 
-def _gm_any(features, rules, weights, packed=False):
+def _gm_any(features, rules, weights, packed=False, kw3=False):
     """gather+GEMM on either backend (Pallas on TPU, XLA gather on CPU).
 
     packed=True streams the table as bf16 pairs packed in int32 words
     (TPU: the 2.07x packed kernel; CPU: emulates the same bf16 rounding so
-    numerics tests cover the TPU path's precision)."""
+    numerics tests cover the TPU path's precision).
+
+    kw3=True (static) asserts the rulebook came from a kernel with kw=3 in
+    `_kernel_offsets` tap order, enabling the x-window kernel (one (3, Cin)
+    block load per (dz, dy) tap group instead of 3 row loads)."""
     if jax.default_backend() != 'cpu':
+        if kw3 and rules.shape[1] % 3 == 0:
+            from ..sparse import _xwin_selectors
+            base, sel = _xwin_selectors(rules, features.shape[0] - 1)
+            zrow = jnp.zeros((1, features.shape[1]), features.dtype)
+            feats2 = jnp.concatenate([features, zrow], axis=0)
+            if packed and features.shape[1] % 2 == 0:
+                w_r = weights.astype(jnp.bfloat16).astype(jnp.float32)
+                return _gather_matmul_xwin_call(
+                    pack_bf16_pairs(feats2), base, sel,
+                    group_weights_x_packed(w_r))
+            return _gather_matmul_xwin_call(feats2, base, sel,
+                                            group_weights_x(weights))
         if packed and features.shape[1] % 2 == 0:
             # weights bf16-rounded (stored f32 — they are tiny) so numerics
             # match the CPU bf16 emulation below
@@ -304,8 +443,9 @@ def _dw_any(features, rules, g):
                       preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def gather_matmul_subm(features, rules, rules_mirror, weights, packed=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def gather_matmul_subm(features, rules, rules_mirror, weights, packed=False,
+                       kw3=False):
     """gather_matmul for SUBMANIFOLD convs (output sites == input sites,
     odd kernel): `rules_mirror` = rules[:, ::-1] is the exact transpose
     rulebook (offset a_{K-1-k} = -a_k), so the feature gradient is ANOTHER
@@ -315,17 +455,19 @@ def gather_matmul_subm(features, rules, rules_mirror, weights, packed=False):
         dW[k] = feats[rules[:, k]]^T @ g        (gather_dw Pallas kernel)
 
     `packed` (static) streams features/weights as bf16 (the pair-packed
-    kernel on TPU); dW keeps the f32 table.
+    kernel on TPU); dW keeps the f32 table.  `kw3` (static) enables the
+    x-window kernel for both directions (the mirrored book keeps the
+    group structure — tests/test_xwin_property.py).
     """
-    return _gm_any(features, rules, weights, packed)
+    return _gm_any(features, rules, weights, packed, kw3)
 
 
-def _gm_subm_fwd(features, rules, rules_mirror, weights, packed):
-    return _gm_any(features, rules, weights, packed), (
+def _gm_subm_fwd(features, rules, rules_mirror, weights, packed, kw3):
+    return _gm_any(features, rules, weights, packed, kw3), (
         features, rules, rules_mirror, weights)
 
 
-def _gm_subm_bwd(packed, res, g):
+def _gm_subm_bwd(packed, kw3, res, g):
     features, rules, rules_mirror, weights = res
     cin = features.shape[1]
     g_c = g.astype(features.dtype)
@@ -335,7 +477,8 @@ def _gm_subm_bwd(packed, res, g):
     # the MIRRORED rulebook while the weights keep their original tap order
     # (mirroring both would cancel out)
     w_t = jnp.transpose(weights, (0, 2, 1)).astype(features.dtype)
-    df = _gm_any(g_padded, rules_mirror, w_t, packed).astype(features.dtype)
+    df = _gm_any(g_padded, rules_mirror, w_t, packed,
+                 kw3).astype(features.dtype)
     df = jnp.concatenate([df, jnp.zeros((1, cin), features.dtype)], axis=0)
     dw = _dw_any(features, rules, g_c).astype(weights.dtype)
     return df, None, None, dw

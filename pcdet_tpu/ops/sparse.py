@@ -436,6 +436,33 @@ def _rules_inverse(level: SparseLevel, out_coords, out_mask, kernel, stride,
     return jnp.stack(rows, axis=1), jnp.stack(found, axis=1)
 
 
+def _xwin_selectors(rules, n_in):
+    """Collapse each (dz, dy) tap group of a kw=3 rulebook into (window
+    base, packed 2-bit x-offsets) for the x-window gather kernel.
+
+    Structural fact (all kw=3 books in this module): the three x-taps of a
+    tap group query ids q-1, q, q+1, and present consecutive ids occupy
+    consecutive rows of the sorted table — so every found row of a group
+    lies within a 3-consecutive-row window.  The kernel then needs ONE
+    dynamic (3, C) block load per group instead of 3 row loads
+    (pallas/gather_gemm.py `_kernel_xwin*`).
+
+    :param rules: (V, K) int32, misses already routed to row ``n_in``
+    :param n_in: the miss row (== feature-table zero row)
+    :return: base (V, G) int32 window starts, sel (V, G) int32 packed
+        offsets (bits 2dx..2dx+1 = row offset of x-tap dx; 3 = miss)
+    """
+    v, k = rules.shape
+    g = k // 3
+    r3 = rules.reshape(v, g, 3)
+    f3 = r3 != n_in
+    base = jnp.min(jnp.where(f3, r3, INT_MAX), axis=2)
+    base_c = jnp.where(base == INT_MAX, 0, base).astype(jnp.int32)
+    off = jnp.where(f3, r3 - base_c[:, :, None], 3).astype(jnp.int32)
+    sel = off[:, :, 0] | (off[:, :, 1] << 2) | (off[:, :, 2] << 4)
+    return base_c, sel
+
+
 def _packed_mode(compute_dtype, cin):
     """bf16 streaming mode: pair-packed int32 kernel (TPU) / bf16 rounding
     emulation (CPU).  Requires an even channel count."""
@@ -445,7 +472,7 @@ def _packed_mode(compute_dtype, cin):
 
 
 def _apply_rules(level: SparseLevel, out_mask, rows, found, weights,
-                 compute_dtype=None, mirror=False):
+                 compute_dtype=None, mirror=False, kw3=False):
     """Gather neighbour features by the rulebook and contract with the
     flattened weights: out = feats[rules].reshape(V, K*Cin) @ W.
 
@@ -476,7 +503,7 @@ def _apply_rules(level: SparseLevel, out_mask, rows, found, weights,
         feats_padded = jnp.concatenate(
             [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
         out = gather_matmul_subm(feats_padded, rules, rules[:, ::-1],
-                                 weights, packed)
+                                 weights, packed, kw3)
     elif jax.default_backend() != 'cpu':
         # Pallas rulebook gather+GEMM: XLA's row-gather slow path costs
         # ~240 ms/layer at V=16k (PERF_NOTES.md); the kernel is ~8x faster.
@@ -485,8 +512,8 @@ def _apply_rules(level: SparseLevel, out_mask, rows, found, weights,
         rules = jnp.where(found, rows, n_in)
         feats_padded = jnp.concatenate(
             [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
-        if packed:
-            out = _gm_any(feats_padded, rules, weights, packed=True)
+        if packed or kw3:
+            out = _gm_any(feats_padded, rules, weights, packed, kw3)
         else:
             out = gather_matmul(feats_padded, rules, weights)
     else:
@@ -500,7 +527,8 @@ def _apply_rules(level: SparseLevel, out_mask, rows, found, weights,
 
 
 def _apply_rules_transpose_bwd(level, out_mask, rows, found, weights,
-                               compute_dtype, bwd_builder, bwd_args):
+                               compute_dtype, bwd_builder, bwd_args,
+                               kw3=False):
     """Like _apply_rules, but the feature gradient flows through the
     TRANSPOSE rulebook (built lazily inside the backward pass, so eval pays
     nothing) instead of an XLA scatter-add: df[u] = sum_k g[bwd(u,k)] @ W[k]^T.
@@ -525,10 +553,10 @@ def _apply_rules_transpose_bwd(level, out_mask, rows, found, weights,
 
     @jax.custom_vjp
     def apply(fp, w, r, *ba):
-        return _gm_any(fp, r, w, packed)
+        return _gm_any(fp, r, w, packed, kw3)
 
     def fwd(fp, w, r, *ba):
-        return _gm_any(fp, r, w, packed), (fp, w, r) + tuple(ba)
+        return _gm_any(fp, r, w, packed, kw3), (fp, w, r) + tuple(ba)
 
     def bwd(res, g):
         fp, w, r = res[:3]
@@ -539,7 +567,7 @@ def _apply_rules_transpose_bwd(level, out_mask, rows, found, weights,
         g_p = jnp.concatenate(
             [g_c, jnp.zeros((1, g.shape[1]), g_c.dtype)], axis=0)
         w_t = jnp.transpose(w, (0, 2, 1)).astype(fp.dtype)
-        df = _gm_any(g_p, bwd_rules, w_t, packed).astype(fp.dtype)
+        df = _gm_any(g_p, bwd_rules, w_t, packed, kw3).astype(fp.dtype)
         df = jnp.concatenate([df, jnp.zeros((1, fp.shape[1]), fp.dtype)],
                              axis=0)
         dw = _dw_any(fp, r, g_c).astype(w.dtype)
@@ -679,7 +707,8 @@ def subm_conv3d(level: SparseLevel, weights, kernel=3, compute_dtype=None):
         rows, found = _rules_subm(level, kernel)
     mirror = all(kk % 2 == 1 for kk in kernel)
     feats = _apply_rules(level, level.mask, rows, found, weights,
-                         compute_dtype, mirror=mirror)
+                         compute_dtype, mirror=mirror,
+                         kw3=kernel[2] == 3)
     out = level._replace(features=feats)
     if cacheable and level.subm_rules is None:
         out = out._replace(subm_rules=(rows, found))
@@ -797,7 +826,8 @@ def sparse_conv3d(level: SparseLevel, weights, kernel=3, stride=2, padding=1,
 
     feats = _apply_rules_transpose_bwd(
         level, out_mask, rows, found, weights, compute_dtype,
-        bwd_builder, (out_ids, level.coords, level.mask))
+        bwd_builder, (out_ids, level.coords, level.mask),
+        kw3=kernel[2] == 3)
     return SparseLevel(features=feats, ids=out_ids, coords=out_coords,
                        mask=out_mask, shape=out_shape, overflow=dropped)
 
@@ -830,7 +860,8 @@ def inverse_conv3d(level: SparseLevel, target: SparseLevel, weights,
 
     feats = _apply_rules_transpose_bwd(
         level, target.mask, rows, found, weights, compute_dtype,
-        bwd_builder, (target.ids, level.coords, level.mask))
+        bwd_builder, (target.ids, level.coords, level.mask),
+        kw3=kernel[2] == 3)
     return SparseLevel(features=feats, ids=target.ids, coords=target.coords,
                        mask=target.mask, shape=target.shape,
                        subm_rules=target.subm_rules)
