@@ -351,6 +351,82 @@ def _dw_kernel(rules_ref, g_ref, feats_ref, out_ref, f_scratch, acc_ref):
         out_ref[0] = acc_ref[...]
 
 
+def _dw_kernel_xwin(base_ref, sel_ref, g_ref, feats_ref, out_ref, blk,
+                    acc_ref):
+    """x-window dW: grid (n_tiles,); all G groups statically unrolled so
+    the selector column index is static.  One (3, Cin) block load per
+    (output row, group) replaces 3 row loads; the tap selects reuse
+    `_xwin_select`; dW[k] accumulates in a (K*Cin, Cout) scratch written
+    out at the last tile.  base/sel as in `_kernel_xwin`; g_ref: (TV, Cout)
+    upstream grads; out_ref: (K, Cin, Cout) f32."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    k_taps, cin, cout = out_ref.shape
+    g_groups = k_taps // 3
+    tv = g_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    selv_all = sel_ref[:]
+    gv = g_ref[:]
+    zero = jnp.zeros((tv, cin), feats_ref.dtype)
+    prec = (jax.lax.Precision.DEFAULT if feats_ref.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    for g in range(g_groups):                   # static unroll
+        for r in range(tv):
+            blk[3 * r:3 * r + 3, :] = feats_ref[pl.ds(base_ref[r, g], 3), :]
+        wv = blk[:].reshape(tv, 3, cin)
+        sp = _xwin_select(wv, selv_all[:, g], zero)     # (TV, 3*Cin)
+        d = jax.lax.dot_general(sp, gv, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=prec)          # (3*Cin, Cout)
+        acc_ref[3 * cin * g:3 * cin * (g + 1), :] = (
+            acc_ref[3 * cin * g:3 * cin * (g + 1), :] + d)
+
+    @pl.when(i == n - 1)
+    def _():
+        out_ref[...] = acc_ref[...].reshape(k_taps, cin, cout)
+
+
+@jax.jit
+def gather_dw_xwin(features, base, sel, g):
+    """dW via the x-window gather (kw=3 books): features (V+2, Cin) f32
+    (last 2 rows zero), base/sel (V, G) int32, g (V, Cout) ->
+    (3*G, Cin, Cout)."""
+    vp, n_groups = base.shape
+    cin = features.shape[1]
+    cout = g.shape[1]
+    pad = (-vp) % TV
+    if pad:
+        base = jnp.pad(base, ((0, pad), (0, 0)))
+        sel = jnp.pad(sel, ((0, pad), (0, 0)), constant_values=0x3f)
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+    out = pl.pallas_call(
+        _dw_kernel_xwin,
+        out_shape=jax.ShapeDtypeStruct((3 * n_groups, cin, cout),
+                                       jnp.float32),
+        grid=(base.shape[0] // TV,),
+        in_specs=[
+            pl.BlockSpec((TV, n_groups), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TV, n_groups), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TV, cout), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # full feature table
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((3 * TV, cin), features.dtype),
+                        pltpu.VMEM((3 * n_groups * cin, cout), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(base, sel, g, features)
+    return out
+
+
 @jax.jit
 def gather_dw(features, rules, g):
     """dW[k] = sum_v features[rules[v, k]] (outer) g[v]  ->  (K, Cin, Cout).
@@ -433,8 +509,14 @@ def _gm_any(features, rules, weights, packed=False, kw3=False):
                    preferred_element_type=jnp.float32)
 
 
-def _dw_any(features, rules, g):
+def _dw_any(features, rules, g, kw3=False):
     if jax.default_backend() != 'cpu':
+        if kw3 and rules.shape[1] % 3 == 0:
+            from ..sparse import _xwin_selectors
+            base, sel = _xwin_selectors(rules, features.shape[0] - 1)
+            zrow = jnp.zeros((1, features.shape[1]), features.dtype)
+            return gather_dw_xwin(jnp.concatenate([features, zrow], axis=0),
+                                  base, sel, g)
         return gather_dw(features, rules, g)
     v, k = rules.shape
     cin = features.shape[1]
@@ -480,7 +562,7 @@ def _gm_subm_bwd(packed, kw3, res, g):
     df = _gm_any(g_padded, rules_mirror, w_t, packed,
                  kw3).astype(features.dtype)
     df = jnp.concatenate([df, jnp.zeros((1, cin), features.dtype)], axis=0)
-    dw = _dw_any(features, rules, g_c).astype(weights.dtype)
+    dw = _dw_any(features, rules, g_c, kw3).astype(weights.dtype)
     return df, None, None, dw
 
 

@@ -570,7 +570,7 @@ def _apply_rules_transpose_bwd(level, out_mask, rows, found, weights,
         df = _gm_any(g_p, bwd_rules, w_t, packed, kw3).astype(fp.dtype)
         df = jnp.concatenate([df, jnp.zeros((1, fp.shape[1]), fp.dtype)],
                              axis=0)
-        dw = _dw_any(fp, r, g_c).astype(w.dtype)
+        dw = _dw_any(fp, r, g_c, kw3).astype(w.dtype)
         return (df, dw, None) + tuple(None for _ in ba)
 
     apply.defvjp(fwd, bwd)

@@ -38,6 +38,20 @@ def test_xwin_f32_interpret(book, monkeypatch):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_xwin_dw_interpret(book, monkeypatch):
+    fp, rules, w, ref = book
+    monkeypatch.setattr(gg, 'INTERPRET', True)
+    rng = np.random.RandomState(11)
+    g = jnp.asarray(rng.randn(V, C).astype(np.float32))
+    base, sel = sparse._xwin_selectors(rules, V)
+    fp2 = jnp.concatenate([fp, jnp.zeros((1, C))], axis=0)
+    out = np.asarray(gg.gather_dw_xwin(fp2, base, sel, g))
+    dw_ref = np.einsum('vki,vo->kio',
+                       np.asarray(fp[rules.reshape(-1)]).reshape(V, 27, C),
+                       np.asarray(g))
+    np.testing.assert_allclose(out, dw_ref, rtol=1e-4, atol=1e-4)
+
+
 def test_xwin_packed_interpret(book, monkeypatch):
     fp, rules, w, ref = book
     monkeypatch.setattr(gg, 'INTERPRET', True)
