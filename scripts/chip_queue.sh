@@ -1,0 +1,58 @@
+#!/bin/bash
+# Sequential chip-work queue for when the axon tunnel is healthy.
+# Gated: if the x-window kernel's on-chip numerics check fails, stop before
+# burning hours of compile time on a broken path.
+set -u
+cd "$(dirname "$0")/.."
+LOG=CHIP_QUEUE_LOG.txt
+echo "=== chip queue started $(date)" | tee -a $LOG
+
+step() {
+  echo "--- [$1] $(date)" | tee -a $LOG
+  shift
+  timeout 5400 "$@" 2>&1 | grep -v WARNING | tee -a $LOG
+}
+
+# 1. x-window kernel numerics + speed vs the per-row kernels
+step xwin python scripts/exp_xwin_loads.py
+if ! python - <<'EOF'
+import re
+txt = open('CHIP_QUEUE_LOG.txt').read()
+m = re.search(r'f32  xwin vs rows max rel err: ([0-9.e+-]+)', txt)
+assert m, 'xwin experiment produced no error line'
+assert float(m.group(1)) < 1e-3, 'xwin numerics off: %s' % m.group(1)
+EOF
+then
+  echo "XWIN NUMERICS GATE FAILED — stopping queue" | tee -a $LOG
+  exit 1
+fi
+
+# 2. verify recipe: SECOND smoke through the real CLI (sparse path e2e)
+rm -rf output/synthetic_smoke_second/verify
+step verify-train python tools/train.py \
+    --cfg_file tools/cfgs/synthetic_smoke_second.yaml \
+    --batch_size 2 --epochs 300 --workers 0 --extra_tag verify
+CKPT=$(python -c "from pcdet_tpu.train.checkpoint import latest_checkpoint; print(latest_checkpoint('output/synthetic_smoke_second/verify/ckpt'))")
+step verify-eval python tools/test.py \
+    --cfg_file tools/cfgs/synthetic_smoke_second.yaml \
+    --batch_size 2 --workers 0 --extra_tag verify --ckpt "$CKPT"
+
+# 3. conv2-block microprofile (rulebook vs gather split)
+step conv2 python scripts/profile_conv2.py
+
+# 4. sparse model benches at B8 and B2
+step bench-b8 python scripts/bench_models.py --models second,parta2 --batch_size 8
+step bench-b2 python scripts/bench_models.py --models second,parta2
+
+# 5. PointPillar batch scaling with the batched NMS
+step pp-b8 env BENCH_BATCH=8 python bench.py
+step pp-b4 env BENCH_BATCH=4 python bench.py
+step pp-b2 python bench.py
+
+# 6. per-stage eval profile refresh
+step stages python scripts/profile_eval_stages.py
+
+# 7. roofline / MFU report
+step roofline python scripts/roofline.py
+
+echo "=== chip queue done $(date)" | tee -a $LOG
