@@ -52,6 +52,20 @@ def test_xwin_dw_interpret(book, monkeypatch):
     np.testing.assert_allclose(out, dw_ref, rtol=1e-4, atol=1e-4)
 
 
+def test_xwin_vmap_interpret(book, monkeypatch):
+    """vmap over the x-window pallas call (the batched backbone path)."""
+    fp, rules, w, ref = book
+    monkeypatch.setattr(gg, 'INTERPRET', True)
+    base, sel = sparse._xwin_selectors(rules, V)
+    fp2 = jnp.concatenate([fp, jnp.zeros((1, C))], axis=0)
+    wg = gg.group_weights_x(w)
+    fp_b = jnp.stack([fp2, fp2 * 2.0])
+    out = np.asarray(jax.vmap(
+        lambda f: gg._gather_matmul_xwin_call(f, base, sel, wg))(fp_b))
+    np.testing.assert_allclose(out[0], ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out[1], 2 * ref, rtol=1e-5, atol=1e-5)
+
+
 def test_xwin_packed_interpret(book, monkeypatch):
     fp, rules, w, ref = book
     monkeypatch.setattr(gg, 'INTERPRET', True)
