@@ -25,6 +25,7 @@ Semantics match spconv: SubMConv3d outputs only at input sites; SparseConv3d
 outputs wherever the receptive field touches an input; out-of-grid taps are
 zero; no bias (the reference backbones all use bias=False + BN).
 """
+import os
 from functools import partial
 from typing import Any, NamedTuple, Tuple
 
@@ -194,6 +195,69 @@ def _merge_lookup_ext(ids_sorted, query_ids):
         jnp.where(~is_table, origin_s - v, m)].set(packed, mode='drop')
 
 
+# Rulebook id-lookup backend: 'sort' = one stable bitonic merge-sort per
+# book (`_merge_lookup_ext`); 'bitmap' = dense-grid presence bitmap +
+# word-popcount prefix ranks (`_bitmap_lookup_ext`) — O(V) build, 4 one-word
+# gathers per query, no O((V+Q) log^2 (V+Q)) sort.  Mutable module global so
+# experiments can time both in one process; flipped by measurement
+# (scripts/exp_bitmap_lookup.py).
+LOOKUP_BACKEND = os.environ.get('PCDET_SPARSE_LOOKUP', 'sort')
+
+
+def _bitmap_lookup_ext(ids_sorted, query_ids, grid_n):
+    """Sort-free equivalent of `_merge_lookup_ext` (same packed encoding).
+
+    The table is scattered once into a ceil(grid_n/32)-word presence bitmap
+    (ids are unique, so each bit is set by exactly one `.add`); ranks come
+    from an exclusive cumsum of per-word popcounts; each query then costs
+    four 1-word gathers (its word, the prefix, and the words of q-1/q+1)
+    plus VPU bit math.  Exact packed equality with the merge path holds for
+    EVERY int32 query: in-range queries get true ranks/presence, q<0 gets
+    rank 0, q>=grid_n gets rank=#valid (matching how the merge sorts them
+    before/after every table entry), and the q+-1 presence bits still see
+    the table when q itself sits one step outside it.
+    """
+    n_words = -(-grid_n // 32)
+    valid = (ids_sorted >= 0) & (ids_sorted < grid_n)
+    w_t = jnp.where(valid, ids_sorted >> 5, n_words)
+    bit = jnp.uint32(1) << (ids_sorted & 31).astype(jnp.uint32)
+    bitmap = jnp.zeros(n_words, jnp.uint32).at[w_t].add(
+        jnp.where(valid, bit, jnp.uint32(0)), mode='drop')
+    counts = jax.lax.population_count(bitmap).astype(jnp.int32)
+    csum = jnp.cumsum(counts)
+    total = csum[-1]
+    prefix = jnp.concatenate([jnp.zeros(1, jnp.int32), csum[:-1]])
+
+    def presence(x):
+        ok = (x >= 0) & (x < grid_n)
+        xc = jnp.clip(x, 0, grid_n - 1)
+        word = bitmap[xc >> 5]
+        return (((word >> (xc & 31).astype(jnp.uint32))
+                 & jnp.uint32(1)) > 0) & ok
+
+    q = query_ids
+    qc = jnp.clip(q, 0, grid_n - 1)
+    b = (qc & 31).astype(jnp.uint32)
+    word = bitmap[qc >> 5]
+    below = word & ((jnp.uint32(1) << b) - jnp.uint32(1))
+    rank = prefix[qc >> 5] + jax.lax.population_count(below).astype(jnp.int32)
+    rank = jnp.where(q < 0, 0, jnp.where(q >= grid_n, total, rank))
+    f0 = (((word >> b) & jnp.uint32(1)) > 0) & (q >= 0) & (q < grid_n)
+    fp1 = presence(q + 1)
+    fm1 = presence(q - 1)
+    pos_right = rank + f0.astype(jnp.int32)
+    return (pos_right * 8 + f0.astype(jnp.int32) * 4
+            + fp1.astype(jnp.int32) * 2 + fm1.astype(jnp.int32))
+
+
+def _lookup_ext(ids_sorted, query_ids, grid_shape):
+    """Backend dispatch for the packed q-1/q/q+1 rank lookup."""
+    if LOOKUP_BACKEND == 'bitmap':
+        return _bitmap_lookup_ext(ids_sorted, query_ids,
+                                  int(np.prod(grid_shape)))
+    return _merge_lookup_ext(ids_sorted, query_ids)
+
+
 def _rules_affine(level, out_coords, out_mask, base_coords, kernel,
                   coord_off):
     """Rulebook for convs whose tap-t input site is
@@ -237,7 +301,8 @@ def _rules_affine(level, out_coords, out_mask, base_coords, kernel,
     if kw in (1, 3):
         # scan-based presence bits for q-1/q/q+1: no per-element gathers
         queries = jnp.concatenate([base_id + c for c in mid_consts])
-        packed = _merge_lookup_ext(level.ids, queries).reshape(n_groups, v)
+        packed = _lookup_ext(level.ids, queries,
+                             level.shape).reshape(n_groups, v)
         for g in range(n_groups):
             pk = packed[g]
             pr = pk >> 3
@@ -392,7 +457,7 @@ def _rules_inverse(level: SparseLevel, out_coords, out_mask, kernel, stride,
               & (y_in >= 0) & (y_in < dims[1]))
         qid = ((z_in * dims[1] + y_in) * dims[2] + q[2]).astype(jnp.int32)
         queries.append(jnp.where(ok, qid, sentinel))
-    packed = _merge_lookup_ext(level.ids, jnp.concatenate(queries))
+    packed = _lookup_ext(level.ids, jnp.concatenate(queries), dims)
     packed = packed.reshape(len(groups), v)
     nrows = level.ids.shape[0]
     row0, rowm1, f0s, fm1s = {}, {}, {}, {}
@@ -647,7 +712,8 @@ def _rules_subm(level: SparseLevel, kernel):
         base_q = jnp.minimum(ids, jnp.int32(INT_MAX // 2))
         consts = [(gz * h + gy) * w for gz, gy in pos_groups]
         queries = jnp.concatenate([base_q + c for c in consts])
-        packed = _merge_lookup_ext(ids, queries).reshape(len(pos_groups), v)
+        packed = _lookup_ext(ids, queries,
+                             level.shape).reshape(len(pos_groups), v)
         for g, (gz, gy) in enumerate(pos_groups):
             pk = packed[g]
             pr = pk >> 3

@@ -40,6 +40,9 @@ step verify-eval python tools/test.py \
 # 3. conv2-block microprofile (rulebook vs gather split)
 step conv2 python scripts/profile_conv2.py
 
+# 3b. rulebook lookup backends: merge-sort vs bitmap-rank
+step bitmap python scripts/exp_bitmap_lookup.py
+
 # 4. sparse model benches at B8 and B2
 step bench-b8 python scripts/bench_models.py --models second,parta2 --batch_size 8
 step bench-b2 python scripts/bench_models.py --models second,parta2

@@ -1,0 +1,104 @@
+"""Bitmap-rank lookup backend vs the merge-sort backend (bit parity).
+
+`sparse._bitmap_lookup_ext` must produce the EXACT packed encoding of
+`sparse._merge_lookup_ext` for every int32 query — in-range, negative,
+past-the-grid, sentinel (INT_MAX-8, INT_MAX//2 + c), and one-outside-with-
+found-neighbour — so the rulebook builders can switch backend freely.
+"""
+import numpy as np
+import pytest
+
+from tests.test_sparse import _random_level
+
+
+def _random_table(rng, grid_n, n_active, cap):
+    import jax.numpy as jnp
+    from pcdet_tpu.ops import sparse
+    ids = rng.choice(grid_n, size=n_active, replace=False)
+    ids.sort()
+    buf = np.full((cap,), sparse.INT_MAX, np.int32)
+    buf[:n_active] = ids
+    return jnp.asarray(buf), ids
+
+
+def test_packed_equality_fuzz():
+    import jax.numpy as jnp
+    from pcdet_tpu.ops import sparse
+    rng = np.random.RandomState(0)
+    for trial in range(8):
+        grid_n = int(rng.randint(50, 5000))
+        n_active = int(rng.randint(1, min(grid_n, 300)))
+        table, ids = _random_table(rng, grid_n, n_active, n_active + 17)
+        qs = [
+            rng.randint(-5, grid_n + 5, size=200),          # around range
+            ids + rng.randint(-2, 3, size=ids.shape),       # near hits
+            np.asarray([-1, 0, grid_n - 1, grid_n,
+                        sparse.INT_MAX - 8,
+                        sparse.INT_MAX // 2 + 7]),          # sentinels/edges
+        ]
+        q = jnp.asarray(np.concatenate(qs).astype(np.int32))
+        ref = np.asarray(sparse._merge_lookup_ext(table, q))
+        got = np.asarray(sparse._bitmap_lookup_ext(table, q, grid_n))
+        np.testing.assert_array_equal(got, ref, err_msg=f'trial {trial}')
+
+
+@pytest.mark.parametrize('builder', ['subm', 'affine', 'inverse'])
+def test_rules_bit_identical_across_backends(builder):
+    import jax
+    from pcdet_tpu.ops import sparse
+    rng = np.random.RandomState(1)
+    level, _ = _random_level(rng, shape=(5, 7, 9), n_active=60, cap=96)
+    coarse, _ = _random_level(rng, shape=(3, 4, 5), n_active=25, cap=32)
+    fine, _ = _random_level(rng, shape=(6, 8, 10), n_active=70, cap=96)
+
+    def build():
+        if builder == 'subm':
+            return sparse._rules_subm(level, (3, 3, 3))
+        if builder == 'affine':
+            # strided-geometry affine book: base = out*stride - padding
+            out = level.coords  # reuse the active set as a fake out set
+            return sparse._rules_affine(level, out, level.mask,
+                                        out * 2, (3, 3, 3), (-1, -1, -1))
+        return sparse._rules_inverse(coarse, fine.coords, fine.mask,
+                                     (3, 3, 3), (2, 2, 2), (1, 1, 1))
+
+    prev = sparse.LOOKUP_BACKEND
+    try:
+        sparse.LOOKUP_BACKEND = 'sort'
+        r_ref, f_ref = jax.tree_util.tree_map(np.asarray, build())
+        sparse.LOOKUP_BACKEND = 'bitmap'
+        r_bm, f_bm = jax.tree_util.tree_map(np.asarray, build())
+    finally:
+        sparse.LOOKUP_BACKEND = prev
+    np.testing.assert_array_equal(f_bm, f_ref)
+    np.testing.assert_array_equal(np.where(f_ref, r_bm, 0),
+                                  np.where(f_ref, r_ref, 0))
+
+
+def test_conv_outputs_identical_across_backends():
+    """End-to-end: subm + strided + inverse convs bit-identical."""
+    import jax.numpy as jnp
+    from pcdet_tpu.ops import sparse
+    rng = np.random.RandomState(2)
+    level, _ = _random_level(rng, shape=(6, 8, 8), n_active=40, cin=5)
+    w3 = jnp.asarray(rng.randn(27, 5, 6).astype(np.float32))
+    w_str = jnp.asarray(rng.randn(27, 6, 5).astype(np.float32))
+    w_inv = jnp.asarray(rng.randn(27, 5, 4).astype(np.float32))
+
+    def run():
+        x = sparse.subm_conv3d(level, w3, 3)
+        y = sparse.sparse_conv3d(x, w_str, 3, 2, 1, out_cap=48)
+        z = sparse.inverse_conv3d(y, x, w_inv, 3, 2, 1)
+        return (np.asarray(x.features), np.asarray(y.features),
+                np.asarray(z.features))
+
+    prev = sparse.LOOKUP_BACKEND
+    try:
+        sparse.LOOKUP_BACKEND = 'sort'
+        ref = run()
+        sparse.LOOKUP_BACKEND = 'bitmap'
+        got = run()
+    finally:
+        sparse.LOOKUP_BACKEND = prev
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(b, a)
