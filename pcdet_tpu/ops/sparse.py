@@ -844,6 +844,39 @@ def _strided_out_set(level: SparseLevel, kernel, stride, padding, out_cap):
 
     cand_ids = linearize(cand_coords, out_shape)
     cand_ids = jnp.where(cand_valid, cand_ids, INT_MAX).astype(jnp.int32)
+
+    if LOOKUP_BACKEND == 'bitmap':
+        # Sort-free construction: candidates scatter presence into a dense
+        # bool over the (strided-down) out grid — duplicate ids write the
+        # same bit, so dedup is free — and one inclusive cumsum turns every
+        # cell into its dense rank.  Keeps the same semantics as the sort
+        # path: out rows ordered by ascending id, truncation keeps the
+        # out_cap smallest.
+        grid_n = int(np.prod(out_shape))
+        ok = cand_ids < INT_MAX
+        dense = jnp.zeros((grid_n,), bool).at[
+            jnp.where(ok, cand_ids, grid_n)].set(True, mode='drop')
+        csum = jnp.cumsum(dense.astype(jnp.int32))
+        n_active = csum[-1]
+        dropped = jnp.maximum(n_active - out_cap, 0)
+        rank_all = csum[jnp.clip(cand_ids, 0, grid_n - 1)] - 1
+        keep = ok & (rank_all < out_cap)
+        rank = jnp.where(keep, rank_all, out_cap)
+        out_ids = jnp.full((out_cap,), INT_MAX, jnp.int32).at[
+            rank].set(cand_ids, mode='drop')
+        out_mask = out_ids < INT_MAX
+        out_coords = jnp.where(out_mask[:, None],
+                               delinearize(out_ids, out_shape),
+                               -1).astype(jnp.int32)
+        slot = jnp.where(keep, rank * k_total + cand_origin // v,
+                         out_cap * k_total)
+        rows = jnp.zeros(out_cap * k_total, jnp.int32).at[
+            slot].set(cand_origin % v, mode='drop').reshape(out_cap, k_total)
+        found = jnp.zeros(out_cap * k_total, bool).at[
+            slot].set(True, mode='drop').reshape(out_cap, k_total)
+        return (out_ids, out_coords, out_mask, out_shape, dropped, rows,
+                found)
+
     cand_sorted, origin_s = jax.lax.sort((cand_ids, cand_origin), num_keys=1)
     first = jnp.concatenate([
         (cand_sorted[:1] < INT_MAX),

@@ -59,12 +59,21 @@ def main():
                                          compute_dtype=jnp.bfloat16)
                 return out.features.sum()
 
+            def strided(f, ids, co, m, shape=shape, w=w, cap=v):
+                l2 = sparse.SparseLevel(f, ids, co, m, shape)
+                out = sparse.sparse_conv3d(l2, w, 3, 2, 1, out_cap=cap,
+                                           compute_dtype=jnp.bfloat16)
+                return out.features.sum()
+
             jr = jax.jit(lambda *a, fn=rules_only: jax.vmap(fn)(*a).sum())
             jc = jax.jit(lambda *a, fn=full_conv: jax.vmap(fn)(*a).sum())
+            js = jax.jit(lambda *a, fn=strided: jax.vmap(fn)(*a).sum())
             t_r = timed(jr, lv.features, lv.ids, lv.coords, lv.mask)
             t_c = timed(jc, lv.features, lv.ids, lv.coords, lv.mask)
+            t_s = timed(js, lv.features, lv.ids, lv.coords, lv.mask)
             rows.append(('%s %s rulebook' % (label, backend), t_r))
             rows.append(('%s %s full subm conv' % (label, backend), t_c))
+            rows.append(('%s %s full strided conv' % (label, backend), t_s))
     sparse.LOOKUP_BACKEND = 'sort'
 
     print('== rulebook lookup backends, B=8 (ms/batch)')

@@ -90,7 +90,8 @@ def test_conv_outputs_identical_across_backends():
         y = sparse.sparse_conv3d(x, w_str, 3, 2, 1, out_cap=48)
         z = sparse.inverse_conv3d(y, x, w_inv, 3, 2, 1)
         return (np.asarray(x.features), np.asarray(y.features),
-                np.asarray(z.features))
+                np.asarray(z.features), np.asarray(y.ids),
+                np.asarray(y.coords), np.asarray(y.mask))
 
     prev = sparse.LOOKUP_BACKEND
     try:
@@ -102,3 +103,28 @@ def test_conv_outputs_identical_across_backends():
         sparse.LOOKUP_BACKEND = prev
     for a, b in zip(ref, got):
         np.testing.assert_array_equal(b, a)
+
+
+def test_strided_out_set_truncation_parity():
+    """Over-tight out_cap: both backends keep the same (smallest) ids and
+    report the same dropped count."""
+    import jax.numpy as jnp
+    from pcdet_tpu.ops import sparse
+    rng = np.random.RandomState(3)
+    level, _ = _random_level(rng, shape=(6, 8, 8), n_active=50, cap=64)
+
+    def run():
+        return sparse._strided_out_set(level, (3, 3, 3), (2, 2, 2),
+                                       (1, 1, 1), 20)
+
+    prev = sparse.LOOKUP_BACKEND
+    try:
+        sparse.LOOKUP_BACKEND = 'sort'
+        ref = [np.asarray(x) for x in run() if not isinstance(x, tuple)]
+        sparse.LOOKUP_BACKEND = 'bitmap'
+        got = [np.asarray(x) for x in run() if not isinstance(x, tuple)]
+    finally:
+        sparse.LOOKUP_BACKEND = prev
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(b, a)
+    assert ref[3] > 0  # the dropped counter actually tripped
