@@ -118,13 +118,19 @@ class TorchLinear(nn.Module):
 
 
 class TorchConv(nn.Module):
-    """2D conv (NHWC) with torch default init and explicit padding."""
+    """2D conv (NHWC) with torch default init and explicit padding.
+
+    ``compute_dtype`` (e.g. bfloat16) casts activations and kernel for the
+    MXU multiply; accumulation and output stay f32
+    (preferred_element_type) — the standard TPU mixed-precision recipe.
+    """
     features: int
     kernel_size: int = 3
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
     bias_init: Optional[Callable] = None
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -132,6 +138,9 @@ class TorchConv(nn.Module):
         fan_in = x.shape[-1] * k * k
         kernel = self.param('kernel', torch_uniform_init(fan_in),
                             (k, k, x.shape[-1], self.features))
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+            kernel = kernel.astype(self.compute_dtype)
         y = jax.lax.conv_general_dilated(
             x, kernel,
             window_strides=(self.stride, self.stride),
@@ -156,6 +165,7 @@ class TorchConvTranspose(nn.Module):
     features: int
     stride: int = 2
     use_bias: bool = True
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
@@ -166,7 +176,11 @@ class TorchConvTranspose(nn.Module):
                             (s, s, x.shape[-1], self.features))
         n, h, w, c = x.shape
         k2 = kernel.transpose(2, 0, 1, 3).reshape(c, s * s * self.features)
-        y = jnp.dot(x.reshape(-1, c), k2,
+        xf = x.reshape(-1, c)
+        if self.compute_dtype is not None:
+            xf = xf.astype(self.compute_dtype)
+            k2 = k2.astype(self.compute_dtype)
+        y = jnp.dot(xf, k2,
                     preferred_element_type=jnp.float32)
         y = y.reshape(n, h, w, s, s, self.features)
         y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h * s, w * s,
@@ -183,11 +197,13 @@ class ConvBNReLU(nn.Module):
     stride: int = 1
     padding: int = 0
     use_norm: bool = True
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = TorchConv(self.features, self.kernel_size, self.stride,
-                      self.padding, use_bias=not self.use_norm)(x)
+                      self.padding, use_bias=not self.use_norm,
+                      compute_dtype=self.compute_dtype)(x)
         if self.use_norm:
             x = TorchBatchNorm(self.features)(x, train)
         return jax.nn.relu(x)
@@ -197,11 +213,13 @@ class DeconvBNReLU(nn.Module):
     features: int
     stride: int = 2
     use_norm: bool = True
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = TorchConvTranspose(self.features, self.stride,
-                               use_bias=not self.use_norm)(x)
+                               use_bias=not self.use_norm,
+                               compute_dtype=self.compute_dtype)(x)
         if self.use_norm:
             x = TorchBatchNorm(self.features)(x, train)
         return jax.nn.relu(x)

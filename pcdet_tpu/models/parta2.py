@@ -68,6 +68,7 @@ class PartA2Module(nn.Module):
             encode_background_as_zeros=a.get('encode_background_as_zeros', True),
             use_direction_classifier=a.get('use_direction_classifier', True),
             num_direction_bins=a.get('num_direction_bins', 2),
+            compute_dtype_test=str(a.get('compute_dtype_test', '')),
             name='rpn_head')(bev, train)
         ret.update(unet_ret)
         ret['spatial_features'] = bev

@@ -61,6 +61,7 @@ class PointPillarNet(nn.Module):
             encode_background_as_zeros=a.get('encode_background_as_zeros', True),
             use_direction_classifier=a.get('use_direction_classifier', True),
             num_direction_bins=a.get('num_direction_bins', 2),
+            compute_dtype_test=str(a.get('compute_dtype_test', '')),
             name='rpn_head')(canvas, train)
         ret['spatial_features'] = canvas
         if self.with_bev_seg:

@@ -44,29 +44,40 @@ class RPNV2(nn.Module):
     encode_background_as_zeros: bool = True
     use_direction_classifier: bool = True
     num_direction_bins: int = 2
+    # eval-only mixed precision for the dense conv stack (mirrors the
+    # sparse backbone's compute_dtype_test): bf16 MXU multiplies with f32
+    # accumulation; training and torch-parity stay exact f32.
+    compute_dtype_test: str = ''
 
     @nn.compact
     def __call__(self, x_in, train: bool) -> Dict[str, Any]:
+        cd = (jnp.bfloat16 if (not train
+                               and self.compute_dtype_test == 'bfloat16')
+              else None)
         ups = []
         x = x_in
         ret = {}
         for i, layer_num in enumerate(self.layer_nums):
             # ZeroPad2d(1) + stride conv == padding=1 conv here
             x = ConvBNReLU(self.num_filters[i], 3, self.layer_strides[i],
-                           padding=1, use_norm=self.use_norm)(x, train)
+                           padding=1, use_norm=self.use_norm,
+                           compute_dtype=cd)(x, train)
             for _ in range(layer_num):
                 x = ConvBNReLU(self.num_filters[i], 3, 1, padding=1,
-                               use_norm=self.use_norm)(x, train)
+                               use_norm=self.use_norm,
+                               compute_dtype=cd)(x, train)
             stride = x_in.shape[1] // x.shape[1]
             ret['spatial_features_%dx' % stride] = x
             up = self.upsample_strides[i]
             if up > 1:
                 u = DeconvBNReLU(self.num_upsample_filters[i], up,
-                                 use_norm=self.use_norm)(x, train)
+                                 use_norm=self.use_norm,
+                                 compute_dtype=cd)(x, train)
             else:
                 # stride-1 "deconv" == 1x1 conv path in the reference
                 u = DeconvBNReLU(self.num_upsample_filters[i], 1,
-                                 use_norm=self.use_norm)(x, train)
+                                 use_norm=self.use_norm,
+                                 compute_dtype=cd)(x, train)
             ups.append(u)
 
         if self.concat_input:

@@ -61,6 +61,7 @@ class SECONDNetModule(nn.Module):
             encode_background_as_zeros=a.get('encode_background_as_zeros', True),
             use_direction_classifier=a.get('use_direction_classifier', True),
             num_direction_bins=a.get('num_direction_bins', 2),
+            compute_dtype_test=str(a.get('compute_dtype_test', '')),
             name='rpn_head')(bev, train)
         ret['spatial_features'] = bev
         ret['overflow'] = encoder_levels['overflow']   # per-cap drop counters

@@ -169,6 +169,9 @@ def test_pointpillar_forward_parity():
     # identical shrunken BEV for CPU wall-time; exercises the same code
     # grid must stay divisible by 8 for the conv/deconv FPN
     shrink_range(ref_cfg, our_cfg, [0, -10.24, -3, 15.36, 10.24, 1])
+    # parity is an exact-f32 contract; eval-only bf16 heads have their own
+    # tolerance tests (test_rpn_bf16.py)
+    our_cfg.MODEL.RPN.RPN_HEAD.ARGS['compute_dtype_test'] = ''
 
     gs = grid_size_from_cfg(ref_cfg)                       # [96, 128, 1]
     torch.manual_seed(7)
@@ -218,6 +221,7 @@ def test_second_forward_parity():
     # parity is an exact-f32 contract; the shipped eval-only bf16 streaming
     # has its own tolerance-appropriate tests (test_sparse_packed.py)
     our_cfg.MODEL.RPN.BACKBONE.ARGS['compute_dtype_test'] = ''
+    our_cfg.MODEL.RPN.RPN_HEAD.ARGS['compute_dtype_test'] = ''
 
     gs = grid_size_from_cfg(ref_cfg)                       # [352, 352, 40]
     torch.manual_seed(11)
@@ -261,6 +265,7 @@ def test_parta2_stage1_forward_parity():
     our_cfg = cfg_from_yaml_file('tools/cfgs/PartA2.yaml')
     shrink_range(ref_cfg, our_cfg, [0, -8.8, -3, 17.6, 8.8, 1])
     our_cfg.MODEL.RPN.BACKBONE.ARGS['compute_dtype_test'] = ''   # see above
+    our_cfg.MODEL.RPN.RPN_HEAD.ARGS['compute_dtype_test'] = ''
 
     gs = grid_size_from_cfg(ref_cfg)
     torch.manual_seed(13)
