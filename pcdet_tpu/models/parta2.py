@@ -164,6 +164,7 @@ class PartA2Net:
             cls_fc=tuple(rcnn_cfg.CLS_FC),
             reg_fc=tuple(rcnn_cfg.REG_FC),
             dp_ratio=float(rcnn_cfg.DP_RATIO),
+            compute_dtype_test=str(rcnn_cfg.get('compute_dtype_test', '')),
         )
 
     # ------------------------------------------------------------------

@@ -13,7 +13,7 @@ Parity targets:
     (bias-free convs, zero inactive inputs) and maps straight onto the MXU.
 """
 import math
-from typing import Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -235,14 +235,20 @@ def xavier_normal_init():
 class MaskedConv3dBNReLU(nn.Module):
     """Dense 3D conv emulating a subm sparse conv on a small grid: zero
     inactive inputs (guaranteed upstream), mask outputs to the active set,
-    masked BN over active cells.  Bit-equivalent to spconv on these grids."""
+    masked BN over active cells.  Bit-equivalent to spconv on these grids.
+    ``compute_dtype`` casts activations/kernel for the MXU multiply (f32
+    accumulation) — eval-only, threaded via the RCNN compute_dtype_test."""
     features: int
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, occ, train: bool):
         # x: (N, D, H, W, C); occ: (N, D, H, W) bool
         k = self.param('kernel', xavier_normal_init(),
                        (3, 3, 3, x.shape[-1], self.features))
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+            k = k.astype(self.compute_dtype)
         y = jax.lax.conv_general_dilated(
             x, k, window_strides=(1, 1, 1),
             padding=[(1, 1)] * 3,
@@ -260,6 +266,7 @@ class FCBlock(nn.Module):
     bn: bool = True
     act: bool = True
     weight_std: float = 0.0     # >0: normal init (reg head last layer)
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -269,6 +276,9 @@ class FCBlock(nn.Module):
             kinit = xavier_normal_init()
         w = self.param('kernel', kinit, (x.shape[-1], self.features))
         b = self.param('bias', nn.initializers.zeros, (self.features,))
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+            w = w.astype(self.compute_dtype)
         y = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
         if self.bn:
             from .layers import TorchBatchNorm
@@ -287,22 +297,27 @@ class SpConvRCNNModule(nn.Module):
     reg_fc: Sequence[int] = (256, 256)
     dp_ratio: float = 0.3
     code_size: int = 7
+    # eval-only bf16 conv/FC stack (f32 accumulation, f32 output
+    # heads), mirroring RPNV2/backbone compute_dtype_test
+    compute_dtype_test: str = ''
 
     @nn.compact
     def __call__(self, pooled_part, pooled_rpn, train: bool):
         """:param pooled_part: (N, o, o, o, 4), :param pooled_rpn: (N, o, o, o, C)
         :return: rcnn_cls (N, 1), rcnn_reg (N, code)"""
         occ = jnp.abs(pooled_part).sum(-1) > 0            # active cells
-        x_part = MaskedConv3dBNReLU(64, name='conv_part_0')(pooled_part, occ,
+        cd = (jnp.bfloat16 if (not train and self.compute_dtype_test == 'bfloat16')
+              else None)
+        x_part = MaskedConv3dBNReLU(64, cd, name='conv_part_0')(pooled_part, occ,
                                                             train)
-        x_part = MaskedConv3dBNReLU(64, name='conv_part_1')(x_part, occ, train)
-        x_rpn = MaskedConv3dBNReLU(64, name='conv_rpn_0')(pooled_rpn, occ,
+        x_part = MaskedConv3dBNReLU(64, cd, name='conv_part_1')(x_part, occ, train)
+        x_rpn = MaskedConv3dBNReLU(64, cd, name='conv_rpn_0')(pooled_rpn, occ,
                                                           train)
-        x_rpn = MaskedConv3dBNReLU(64, name='conv_rpn_1')(x_rpn, occ, train)
+        x_rpn = MaskedConv3dBNReLU(64, cd, name='conv_rpn_1')(x_rpn, occ, train)
 
         merged = jnp.concatenate([x_rpn, x_part], axis=-1)
-        x = MaskedConv3dBNReLU(128, name='conv_down_0')(merged, occ, train)
-        x = MaskedConv3dBNReLU(128, name='conv_down_1')(x, occ, train)
+        x = MaskedConv3dBNReLU(128, cd, name='conv_down_0')(merged, occ, train)
+        x = MaskedConv3dBNReLU(128, cd, name='conv_down_1')(x, occ, train)
 
         # sparse max-pool k2 s2: -inf inactive, pool, recompute occupancy
         neg = jnp.where(occ[..., None], x, -jnp.inf)
@@ -311,28 +326,28 @@ class SpConvRCNNModule(nn.Module):
                            strides=(2, 2, 2))[..., 0] > 0
         x = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
 
-        x = MaskedConv3dBNReLU(128, name='conv_down_2')(x, occ2, train)
-        x = MaskedConv3dBNReLU(self.shared_fc[0], name='conv_down_3')(
+        x = MaskedConv3dBNReLU(128, cd, name='conv_down_2')(x, occ2, train)
+        x = MaskedConv3dBNReLU(self.shared_fc[0], cd, name='conv_down_3')(
             x, occ2, train)
 
         n = x.shape[0]
         flat = x.reshape(n, -1)
         h = flat
         for i, ch in enumerate(self.shared_fc[1:]):
-            h = FCBlock(ch, name='shared_fc_%d' % i)(h, train)
+            h = FCBlock(ch, compute_dtype=cd, name='shared_fc_%d' % i)(h, train)
             if i != len(self.shared_fc) - 2 and self.dp_ratio > 0:
                 h = nn.Dropout(self.dp_ratio, deterministic=not train)(h)
 
         c = h
         for i, ch in enumerate(self.cls_fc):
-            c = FCBlock(ch, name='cls_fc_%d' % i)(c, train)
+            c = FCBlock(ch, compute_dtype=cd, name='cls_fc_%d' % i)(c, train)
             if i == 0 and self.dp_ratio >= 0:
                 c = nn.Dropout(self.dp_ratio, deterministic=not train)(c)
         rcnn_cls = FCBlock(1, bn=False, act=False, name='cls_out')(c, train)
 
         g = h
         for i, ch in enumerate(self.reg_fc):
-            g = FCBlock(ch, name='reg_fc_%d' % i)(g, train)
+            g = FCBlock(ch, compute_dtype=cd, name='reg_fc_%d' % i)(g, train)
             if i == 0 and self.dp_ratio >= 0:
                 g = nn.Dropout(self.dp_ratio, deterministic=not train)(g)
         rcnn_reg = FCBlock(self.code_size, bn=False, act=False,
@@ -350,34 +365,39 @@ class FCRCNNModule(nn.Module):
     reg_fc: Sequence[int] = (256, 256)
     dp_ratio: float = 0.3
     code_size: int = 7
+    # eval-only bf16 conv/FC stack (f32 accumulation, f32 output
+    # heads), mirroring RPNV2/backbone compute_dtype_test
+    compute_dtype_test: str = ''
 
     @nn.compact
     def __call__(self, pooled_part, pooled_rpn, train: bool):
         occ = jnp.abs(pooled_part).sum(-1) > 0
+        cd = (jnp.bfloat16 if (not train and self.compute_dtype_test == 'bfloat16')
+              else None)
         c0 = self.shared_fc[0] // 2
-        x_part = MaskedConv3dBNReLU(64, name='conv_part_0')(pooled_part, occ,
+        x_part = MaskedConv3dBNReLU(64, cd, name='conv_part_0')(pooled_part, occ,
                                                             train)
-        x_part = MaskedConv3dBNReLU(c0, name='conv_part_1')(x_part, occ, train)
-        x_rpn = MaskedConv3dBNReLU(64, name='conv_rpn_0')(pooled_rpn, occ,
+        x_part = MaskedConv3dBNReLU(c0, cd, name='conv_part_1')(x_part, occ, train)
+        x_rpn = MaskedConv3dBNReLU(64, cd, name='conv_rpn_0')(pooled_rpn, occ,
                                                           train)
-        x_rpn = MaskedConv3dBNReLU(c0, name='conv_rpn_1')(x_rpn, occ, train)
+        x_rpn = MaskedConv3dBNReLU(c0, cd, name='conv_rpn_1')(x_rpn, occ, train)
         merged = jnp.concatenate([x_rpn, x_part], axis=-1)
 
         n = merged.shape[0]
         h = merged.reshape(n, -1)
         for i, ch in enumerate(self.shared_fc[1:]):
-            h = FCBlock(ch, name='shared_fc_%d' % i)(h, train)
+            h = FCBlock(ch, compute_dtype=cd, name='shared_fc_%d' % i)(h, train)
             if i != len(self.shared_fc) - 2 and self.dp_ratio > 0:
                 h = nn.Dropout(self.dp_ratio, deterministic=not train)(h)
         c = h
         for i, ch in enumerate(self.cls_fc):
-            c = FCBlock(ch, name='cls_fc_%d' % i)(c, train)
+            c = FCBlock(ch, compute_dtype=cd, name='cls_fc_%d' % i)(c, train)
             if i == 0 and self.dp_ratio >= 0:
                 c = nn.Dropout(self.dp_ratio, deterministic=not train)(c)
         rcnn_cls = FCBlock(1, bn=False, act=False, name='cls_out')(c, train)
         g = h
         for i, ch in enumerate(self.reg_fc):
-            g = FCBlock(ch, name='reg_fc_%d' % i)(g, train)
+            g = FCBlock(ch, compute_dtype=cd, name='reg_fc_%d' % i)(g, train)
             if i == 0 and self.dp_ratio >= 0:
                 g = nn.Dropout(self.dp_ratio, deterministic=not train)(g)
         rcnn_reg = FCBlock(self.code_size, bn=False, act=False,

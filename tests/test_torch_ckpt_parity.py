@@ -320,6 +320,7 @@ def test_parta2_rcnn_forward_parity(yaml_name):
     ref_cfg = load_ref_cfg(yaml_name)
     our_cfg = cfg_from_yaml_file('tools/cfgs/%s' % yaml_name)
     shrink_range(ref_cfg, our_cfg, [0, -8.8, -3, 17.6, 8.8, 1])
+    our_cfg.MODEL.RCNN['compute_dtype_test'] = ''   # exact-f32 contract
     gs = grid_size_from_cfg(ref_cfg)
 
     torch.manual_seed(17)
