@@ -52,8 +52,9 @@ step pp-b8 env BENCH_BATCH=8 python bench.py
 step pp-b4 env BENCH_BATCH=4 python bench.py
 step pp-b2 python bench.py
 
-# 6. per-stage eval profile refresh
-step stages python scripts/profile_eval_stages.py
+# 6. per-stage eval profile refresh (+ PointPillar carve-up)
+step stages python scripts/profile_eval_stages.py \
+    --models second,second_backbone,parta2,pointpillar
 
 # 7. roofline / MFU report
 step roofline python scripts/roofline.py

@@ -327,6 +327,87 @@ def profile_parta2(batch_size):
     return rows
 
 
+def profile_pointpillar(batch_size):
+    """PP eval carve-up: VFE (PFN) | pillar scatter | RPN FPN+heads |
+    decode + batched NMS — the headline model had no per-stage numbers."""
+    import jax
+    import jax.numpy as jnp
+    from pcdet_tpu.models.detector3d import (decode_single_stage,
+                                             post_process_batch)
+    from pcdet_tpu.models.pillar_scatter import pillar_scatter
+    from pcdet_tpu.models.rpn_head import RPNV2
+    from pcdet_tpu.models.vfe import PillarFeatureNet
+    from pcdet_tpu.train.train_state import make_eval_forward
+
+    cfg = realistic_cfg('pointpillar.yaml')
+    model, batch = build(cfg, training=False, batch_size=batch_size)
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+    params, stats = variables['params'], variables.get('batch_stats', {})
+    mod = model.module
+    rows = []
+
+    fwd = make_eval_forward(model)
+    t_full, _ = _time(fwd, params, stats, batch)
+    rows.append(('full eval fwd', t_full))
+
+    vfe = PillarFeatureNet(num_filters=tuple(mod.vfe_num_filters),
+                           use_norm=mod.use_norm,
+                           with_distance=mod.vfe_with_distance,
+                           voxel_size=tuple(mod.voxel_size),
+                           pc_range=tuple(mod.pc_range))
+    vfe_vars = {'params': params['vfe'],
+                'batch_stats': stats.get('vfe', {})}
+
+    def vfe_stage(batch):
+        return vfe.apply(vfe_vars, batch['voxels'], batch['num_points'],
+                         batch['coordinates'], batch['voxel_mask'], False)
+    t_vfe, _ = _time(_scalarize(vfe_stage), batch)
+    rows.append(('VFE (PFN)', t_vfe))
+    feats = jax.jit(vfe_stage)(batch)
+
+    def scatter_stage(feats, batch):
+        return pillar_scatter(feats, batch['coordinates'],
+                              batch['voxel_mask'], mod.grid_ny, mod.grid_nx)
+    t_sc, _ = _time(_scalarize(scatter_stage), feats, batch)
+    rows.append(('pillar scatter', t_sc))
+    canvas = jax.jit(scatter_stage)(feats, batch)
+
+    a = mod.rpn_args
+    rpn = RPNV2(num_class=mod.num_class,
+                num_anchors_per_location=mod.num_anchors_per_location,
+                layer_nums=tuple(a['layer_nums']),
+                layer_strides=tuple(a['layer_strides']),
+                num_filters=tuple(a['num_filters']),
+                upsample_strides=tuple(a['upsample_strides']),
+                num_upsample_filters=tuple(a['num_upsample_filters']),
+                use_norm=a.get('use_norm', True),
+                concat_input=a.get('concat_input', False),
+                encode_background_as_zeros=a.get('encode_background_as_zeros',
+                                                 True),
+                use_direction_classifier=a.get('use_direction_classifier',
+                                               True),
+                num_direction_bins=a.get('num_direction_bins', 2),
+                compute_dtype_test=str(a.get('compute_dtype_test', '')))
+    rpn_vars = {'params': params['rpn_head'],
+                'batch_stats': stats.get('rpn_head', {})}
+
+    def rpn_stage(canvas):
+        return rpn.apply(rpn_vars, canvas, False)
+    t_rpn, _ = _time(_scalarize(rpn_stage), canvas)
+    rows.append(('RPN FPN + heads', t_rpn))
+    ret = jax.jit(rpn_stage)(canvas)
+
+    def decode_stage(ret):
+        cls_preds, box_preds = decode_single_stage(
+            ret, model.anchors, model.box_coder, model.num_class,
+            model.head_args)
+        return post_process_batch(cls_preds, box_preds, model.cfg.MODEL.TEST)
+    ret_j = {k: v for k, v in ret.items() if hasattr(v, 'dtype')}
+    t_dec, _ = _time(_scalarize(decode_stage), ret_j)
+    rows.append(('decode + NMS', t_dec))
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--models', default='second,parta2')
@@ -337,7 +418,8 @@ def main():
         t0 = time.time()
         rows = {'second': profile_second,
                 'second_backbone': profile_second_backbone,
-                'parta2': profile_parta2}[m](args.batch)
+                'parta2': profile_parta2,
+                'pointpillar': profile_pointpillar}[m](args.batch)
         report[m] = rows
         print(f'== {m} eval B{args.batch} (setup {time.time() - t0:.0f}s)')
         for name, ms in rows:
