@@ -168,6 +168,8 @@ def main():
             return
         if args.batch_size:
             r['metric'] += '_b%d' % args.batch_size
+        if os.environ.get('PCDET_SPARSE_LOOKUP') == 'bitmap':
+            r['metric'] += '_bitmap'   # don't clobber the sort-backend row
         r['setup_plus_bench_s'] = round(time.perf_counter() - t0, 1)
         results.append(r)
         print(json.dumps(r), flush=True)

@@ -47,6 +47,11 @@ step bitmap python scripts/exp_bitmap_lookup.py
 step bench-b8 python scripts/bench_models.py --models second,parta2 --batch_size 8
 step bench-b2 python scripts/bench_models.py --models second,parta2
 
+# 4b. SECOND e2e under the bitmap lookup backend (fresh compile; decides
+# whether the sort-free rulebooks become the TPU default)
+step bench-b8-bitmap env PCDET_SPARSE_LOOKUP=bitmap \
+    python scripts/bench_models.py --models second --batch_size 8
+
 # 5. PointPillar batch scaling with the batched NMS
 step pp-b8 env BENCH_BATCH=8 python bench.py
 step pp-b4 env BENCH_BATCH=4 python bench.py
