@@ -39,10 +39,14 @@ def test_eval_bf16_within_rounding_and_train_exact():
                                       err_msg=f'{k}: train path not exact')
 
 
-def test_rcnn_eval_bf16_within_rounding_and_train_exact():
+import pytest
+
+
+@pytest.mark.parametrize('which', ['spconv', 'fc'])
+def test_rcnn_eval_bf16_within_rounding_and_train_exact(which):
     import jax
     import jax.numpy as jnp
-    from pcdet_tpu.models.roi_heads import SpConvRCNNModule
+    from pcdet_tpu.models.roi_heads import FCRCNNModule, SpConvRCNNModule
 
     rng = np.random.RandomState(0)
     o = 6
@@ -53,10 +57,13 @@ def test_rcnn_eval_bf16_within_rounding_and_train_exact():
     part, rpnf = jnp.asarray(part), jnp.asarray(rpnf)
 
     def build(cd):
-        m = SpConvRCNNModule(pool_size=o, shared_fc=(32, 64, 64, 64),
-                             cls_fc=(32,), reg_fc=(32,),
-                             compute_dtype_test=cd)
-        return m
+        if which == 'fc':
+            return FCRCNNModule(pool_size=o, shared_fc=(32, 64, 64, 64),
+                                cls_fc=(32,), reg_fc=(32,),
+                                compute_dtype_test=cd)
+        return SpConvRCNNModule(pool_size=o, shared_fc=(32, 64, 64, 64),
+                                cls_fc=(32,), reg_fc=(32,),
+                                compute_dtype_test=cd)
 
     m32, m16 = build(''), build('bfloat16')
     v = m32.init({'params': jax.random.PRNGKey(0),
