@@ -202,6 +202,12 @@ def _merge_lookup_ext(ids_sorted, query_ids):
 # experiments can time both in one process; flipped by measurement
 # (scripts/exp_bitmap_lookup.py).
 LOOKUP_BACKEND = os.environ.get('PCDET_SPARSE_LOOKUP', 'sort')
+# 'auto' threshold: bitmap build cost is O(grid cells / 32) words of
+# popcount+cumsum, so huge grids (the full-resolution input level:
+# 41*1600*1408 = 92M cells) can lose to the O((V+Q) log^2) sort while the
+# strided-down levels win.  Tuned by scripts/exp_bitmap_lookup.py.
+AUTO_BITMAP_MAX_CELLS = int(os.environ.get('PCDET_BITMAP_MAX_CELLS',
+                                           str(16 * 2 ** 20)))
 
 
 def _bitmap_lookup_ext(ids_sorted, query_ids, grid_n):
@@ -252,9 +258,10 @@ def _bitmap_lookup_ext(ids_sorted, query_ids, grid_n):
 
 def _lookup_ext(ids_sorted, query_ids, grid_shape):
     """Backend dispatch for the packed q-1/q/q+1 rank lookup."""
-    if LOOKUP_BACKEND == 'bitmap':
-        return _bitmap_lookup_ext(ids_sorted, query_ids,
-                                  int(np.prod(grid_shape)))
+    grid_n = int(np.prod(grid_shape))
+    if LOOKUP_BACKEND == 'bitmap' or (LOOKUP_BACKEND == 'auto'
+                                      and grid_n <= AUTO_BITMAP_MAX_CELLS):
+        return _bitmap_lookup_ext(ids_sorted, query_ids, grid_n)
     return _merge_lookup_ext(ids_sorted, query_ids)
 
 
@@ -845,7 +852,9 @@ def _strided_out_set(level: SparseLevel, kernel, stride, padding, out_cap):
     cand_ids = linearize(cand_coords, out_shape)
     cand_ids = jnp.where(cand_valid, cand_ids, INT_MAX).astype(jnp.int32)
 
-    if LOOKUP_BACKEND == 'bitmap':
+    if LOOKUP_BACKEND == 'bitmap' or (
+            LOOKUP_BACKEND == 'auto'
+            and int(np.prod(out_shape)) <= AUTO_BITMAP_MAX_CELLS):
         # Sort-free construction: candidates scatter presence into a dense
         # bool over the (strided-down) out grid — duplicate ids write the
         # same bit, so dedup is free — and one inclusive cumsum turns every

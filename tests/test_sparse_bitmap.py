@@ -99,10 +99,13 @@ def test_conv_outputs_identical_across_backends():
         ref = run()
         sparse.LOOKUP_BACKEND = 'bitmap'
         got = run()
+        sparse.LOOKUP_BACKEND = 'auto'   # small grids -> bitmap branch
+        got_auto = run()
     finally:
         sparse.LOOKUP_BACKEND = prev
-    for a, b in zip(ref, got):
+    for a, b, c in zip(ref, got, got_auto):
         np.testing.assert_array_equal(b, a)
+        np.testing.assert_array_equal(c, a)
 
 
 def test_strided_out_set_truncation_parity():
