@@ -208,6 +208,10 @@ LOOKUP_BACKEND = os.environ.get('PCDET_SPARSE_LOOKUP', 'sort')
 # strided-down levels win.  Tuned by scripts/exp_bitmap_lookup.py.
 AUTO_BITMAP_MAX_CELLS = int(os.environ.get('PCDET_BITMAP_MAX_CELLS',
                                            str(16 * 2 ** 20)))
+# Kill switch for the x-window gather kernels (falls back to per-row
+# loads) — lets the unattended chip queue keep producing numbers if the
+# xwin numerics gate ever trips on a new jaxlib.
+XWIN_ENABLED = os.environ.get('PCDET_DISABLE_XWIN', '') != '1'
 
 
 def _bitmap_lookup_ext(ids_sorted, query_ids, grid_n):
@@ -781,7 +785,7 @@ def subm_conv3d(level: SparseLevel, weights, kernel=3, compute_dtype=None):
     mirror = all(kk % 2 == 1 for kk in kernel)
     feats = _apply_rules(level, level.mask, rows, found, weights,
                          compute_dtype, mirror=mirror,
-                         kw3=kernel[2] == 3)
+                         kw3=kernel[2] == 3 and XWIN_ENABLED)
     out = level._replace(features=feats)
     if cacheable and level.subm_rules is None:
         out = out._replace(subm_rules=(rows, found))
@@ -935,7 +939,7 @@ def sparse_conv3d(level: SparseLevel, weights, kernel=3, stride=2, padding=1,
     feats = _apply_rules_transpose_bwd(
         level, out_mask, rows, found, weights, compute_dtype,
         bwd_builder, (out_ids, level.coords, level.mask),
-        kw3=kernel[2] == 3)
+        kw3=kernel[2] == 3 and XWIN_ENABLED)
     return SparseLevel(features=feats, ids=out_ids, coords=out_coords,
                        mask=out_mask, shape=out_shape, overflow=dropped)
 
@@ -969,7 +973,7 @@ def inverse_conv3d(level: SparseLevel, target: SparseLevel, weights,
     feats = _apply_rules_transpose_bwd(
         level, target.mask, rows, found, weights, compute_dtype,
         bwd_builder, (target.ids, level.coords, level.mask),
-        kw3=kernel[2] == 3)
+        kw3=kernel[2] == 3 and XWIN_ENABLED)
     return SparseLevel(features=feats, ids=target.ids, coords=target.coords,
                        mask=target.mask, shape=target.shape,
                        subm_rules=target.subm_rules)

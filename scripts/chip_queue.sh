@@ -23,8 +23,9 @@ assert m, 'xwin experiment produced no error line'
 assert float(m.group(1)) < 1e-3, 'xwin numerics off: %s' % m.group(1)
 EOF
 then
-  echo "XWIN NUMERICS GATE FAILED — stopping queue" | tee -a $LOG
-  exit 1
+  echo "XWIN NUMERICS GATE FAILED — disabling x-window kernels for the rest" \
+    | tee -a $LOG
+  export PCDET_DISABLE_XWIN=1
 fi
 
 # 2. verify recipe: SECOND smoke through the real CLI (sparse path e2e)
