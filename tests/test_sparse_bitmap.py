@@ -108,6 +108,37 @@ def test_conv_outputs_identical_across_backends():
         np.testing.assert_array_equal(c, a)
 
 
+def test_batched_convs_identical_across_backends():
+    """The chip path always runs under vmap — batched scatter/gather/cumsum
+    must preserve the parity too."""
+    import jax.numpy as jnp
+    from pcdet_tpu.ops import sparse
+    rng = np.random.RandomState(5)
+    levels = [_random_level(rng, shape=(6, 8, 8), n_active=30 + 8 * i,
+                            cap=64, cin=6)[0] for i in range(3)]
+    lv = sparse.SparseLevel(*[jnp.stack([getattr(l, f) for l in levels])
+                              for f in ('features', 'ids', 'coords', 'mask')],
+                            (6, 8, 8))
+    w3 = jnp.asarray(rng.randn(27, 6, 6).astype(np.float32))
+
+    def run():
+        x = sparse.subm_conv3d_batched(lv, w3, 3)
+        y = sparse.sparse_conv3d_batched(x, w3, 3, 2, 1, out_cap=48)
+        return (np.asarray(x.features), np.asarray(y.features),
+                np.asarray(y.ids), np.asarray(y.mask))
+
+    prev = sparse.LOOKUP_BACKEND
+    try:
+        sparse.LOOKUP_BACKEND = 'sort'
+        ref = run()
+        sparse.LOOKUP_BACKEND = 'bitmap'
+        got = run()
+    finally:
+        sparse.LOOKUP_BACKEND = prev
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(b, a)
+
+
 def test_strided_out_set_truncation_parity():
     """Over-tight out_cap: both backends keep the same (smallest) ids and
     report the same dropped count."""
