@@ -19,7 +19,8 @@ from .backbones3d import UNetV0, UNetV2
 from .detector3d import merge_overflow_tb, post_process_batch
 from .rpn_head import RPNV2, anchor_head_loss
 from .roi_heads import (FCRCNNModule, SpConvRCNNModule, decode_rcnn_boxes,
-                        proposal_layer, proposal_target_layer, rcnn_loss)
+                        proposal_layer_from_head, proposal_target_layer,
+                        rcnn_loss)
 from .vfe import MeanVFE
 from ..utils import loss as loss_ops
 from ..utils.box_coder import ResidualCoder
@@ -197,26 +198,20 @@ class PartA2Net:
         mode_cfg = self.cfg.MODEL[mode]
         batch_size = stage1_ret['box_preds'].shape[0]
         num_anchors = self.anchors.shape[0]
-        batch_anchors = jnp.broadcast_to(self.anchors[None],
-                                         (batch_size, num_anchors, 7))
         cls_preds = stage1_ret['cls_preds'].reshape(batch_size, num_anchors,
                                                     -1)
         dir_preds = stage1_ret.get('dir_cls_preds', None)
         if dir_preds is not None:
             dir_preds = dir_preds.reshape(batch_size, num_anchors, -1)
-        box_preds = self.box_coder.decode_with_head_direction(
-            stage1_ret['box_preds'].reshape(batch_size, num_anchors, -1),
-            batch_anchors, dir_preds,
-            num_dir_bins=self.head_args.get('num_direction_bins', 2),
-            dir_offset=self.head_args.get('dir_offset', 0.78539),
-            dir_limit_offset=self.head_args.get('dir_limit_offset', 0.0),
-            use_binary_dir_classifier=self.head_args.get(
-                'use_binary_dir_classifier', False))
-        box_preds = jax.lax.stop_gradient(box_preds)
+        box_raw = stage1_ret['box_preds'].reshape(batch_size, num_anchors, -1)
         cls_preds = jax.lax.stop_gradient(cls_preds)
 
-        roi_dict = proposal_layer(
-            cls_preds, box_preds,
+        # selection-before-decode: only the top NMS_PRE anchors get decoded
+        # (bit-identical to decoding all — tests/test_lazy_decode.py)
+        roi_dict = proposal_layer_from_head(
+            cls_preds, jax.lax.stop_gradient(box_raw), self.anchors,
+            None if dir_preds is None else jax.lax.stop_gradient(dir_preds),
+            self.box_coder, self.head_args,
             nms_pre=int(mode_cfg.NMS_PRE_MAXSIZE),
             nms_post=int(mode_cfg.NMS_POST_MAXSIZE),
             nms_thresh=float(mode_cfg.RPN_NMS_THRESH),

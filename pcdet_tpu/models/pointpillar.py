@@ -12,8 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .anchors import AnchorHeadTargets
-from .detector3d import (decode_single_stage, merge_overflow_tb,
-                         post_process_batch)
+from .detector3d import merge_overflow_tb, post_process_from_head
 from .pillar_scatter import pillar_scatter
 from .rpn_head import RPNV2, anchor_head_loss
 from .vfe import PillarFeatureNet
@@ -173,8 +172,12 @@ class PointPillar:
         return det_loss, tb
 
     def predict(self, ret_dict):
-        """Decoded + NMS'd fixed-shape predictions (B, post_max, ...)."""
-        cls_preds, box_preds = decode_single_stage(
+        """Decoded + NMS'd fixed-shape predictions (B, post_max, ...).
+
+        Uses the selection-before-decode path: only the top
+        NMS_PRE_MAXSIZE_LAST anchors are decoded (bit-identical to
+        decode-everything, tests/test_lazy_decode.py; ~78x less decode
+        work at PointPillar's 321k anchors)."""
+        return post_process_from_head(
             ret_dict, self.anchors, self.box_coder, self.num_class,
-            self.head_args)
-        return post_process_batch(cls_preds, box_preds, self.cfg.MODEL.TEST)
+            self.head_args, self.cfg.MODEL.TEST)

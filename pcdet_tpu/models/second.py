@@ -14,8 +14,7 @@ import numpy as np
 from ..ops import sparse
 from .anchors import AnchorHeadTargets
 from .backbones3d import BackBone8x
-from .detector3d import (decode_single_stage, merge_overflow_tb,
-                         post_process_batch)
+from .detector3d import merge_overflow_tb, post_process_from_head
 from .rpn_head import RPNV2, anchor_head_loss
 from .vfe import MeanVFE
 from ..utils.box_coder import ResidualCoder
@@ -151,7 +150,7 @@ class SECONDNet:
         )
 
     def predict(self, ret_dict):
-        cls_preds, box_preds = decode_single_stage(
+        # selection-before-decode (bit-identical, tests/test_lazy_decode.py)
+        return post_process_from_head(
             ret_dict, self.anchors, self.box_coder, self.num_class,
-            self.head_args)
-        return post_process_batch(cls_preds, box_preds, self.cfg.MODEL.TEST)
+            self.head_args, self.cfg.MODEL.TEST)

@@ -38,6 +38,17 @@ step verify-eval python tools/test.py \
     --cfg_file tools/cfgs/synthetic_smoke_second.yaml \
     --batch_size 2 --workers 0 --extra_tag verify --ckpt "$CKPT"
 
+# 2b. two-stage path through the CLI (stage-2 changed in round 3: lazy
+# proposals + bf16 RCNN) — Part-A2 EVAL compile alone is ~25-40 min
+rm -rf output/synthetic_smoke_parta2/verify
+step verify-train-parta2 python tools/train.py \
+    --cfg_file tools/cfgs/synthetic_smoke_parta2.yaml \
+    --batch_size 2 --epochs 200 --workers 0 --extra_tag verify
+CKPT2=$(python -c "from pcdet_tpu.train.checkpoint import latest_checkpoint; print(latest_checkpoint('output/synthetic_smoke_parta2/verify/ckpt'))")
+step verify-eval-parta2 python tools/test.py \
+    --cfg_file tools/cfgs/synthetic_smoke_parta2.yaml \
+    --batch_size 2 --workers 0 --extra_tag verify --ckpt "$CKPT2"
+
 # 3. conv2-block microprofile (rulebook vs gather split)
 step conv2 python scripts/profile_conv2.py
 
