@@ -64,7 +64,12 @@ step bench-b2 python scripts/bench_models.py --models second,parta2
 step bench-b8-bitmap env PCDET_SPARSE_LOOKUP=bitmap \
     python scripts/bench_models.py --models second --batch_size 8
 
+# 4c. upper end of the batch-scaling curve (batched NMS + lazy decode may
+# keep paying past B8)
+step bench-b16 python scripts/bench_models.py --models second --batch_size 16
+
 # 5. PointPillar batch scaling with the batched NMS
+step pp-b16 env BENCH_BATCH=16 python bench.py
 step pp-b8 env BENCH_BATCH=8 python bench.py
 step pp-b4 env BENCH_BATCH=4 python bench.py
 step pp-b2 python bench.py
