@@ -182,9 +182,22 @@ class DatasetTemplate:
         voxel_mask[:n_vox] = True
         coords = out['coordinates'].astype(np.int32)
         coords[~voxel_mask] = -1
+        # The sparse backbones require id-SORTED voxels (the SparseLevel
+        # invariant `ops/sparse.py:39-46` that makes every rulebook a merge/
+        # rank lookup); the host voxelizer emits spconv's first-appearance
+        # order, so sort here — same stable ascending-linear-id order
+        # voxelize_jnp/from_unsorted produce.  Padding rows keep sorting
+        # last (key INT64_MAX), preserving the valid-prefix mask layout.
+        g = vg.grid_size                                  # (nx, ny, nz)
+        lin = ((coords[:, 0].astype(np.int64) * g[1] + coords[:, 1]) * g[0]
+               + coords[:, 2])
+        key = np.where(voxel_mask, lin, np.iinfo(np.int64).max)
+        order = np.argsort(key, kind='stable')
+        coords = coords[order]
+        voxel_mask = voxel_mask[order]
         example.update({
-            'voxels': out['voxels'].astype(np.float32),
-            'num_points': out['num_points_per_voxel'].astype(np.int32),
+            'voxels': out['voxels'].astype(np.float32)[order],
+            'num_points': out['num_points_per_voxel'].astype(np.int32)[order],
             'coordinates': coords,
             'voxel_mask': voxel_mask,
         })
