@@ -38,17 +38,6 @@ step verify-eval python tools/test.py \
     --cfg_file tools/cfgs/synthetic_smoke_second.yaml \
     --batch_size 2 --workers 0 --extra_tag verify --ckpt "$CKPT"
 
-# 2b. two-stage path through the CLI (stage-2 changed in round 3: lazy
-# proposals + bf16 RCNN) — Part-A2 EVAL compile alone is ~25-40 min
-rm -rf output/synthetic_smoke_parta2/verify
-step verify-train-parta2 python tools/train.py \
-    --cfg_file tools/cfgs/synthetic_smoke_parta2.yaml \
-    --batch_size 2 --epochs 200 --workers 0 --extra_tag verify
-CKPT2=$(python -c "from pcdet_tpu.train.checkpoint import latest_checkpoint; print(latest_checkpoint('output/synthetic_smoke_parta2/verify/ckpt'))")
-step verify-eval-parta2 python tools/test.py \
-    --cfg_file tools/cfgs/synthetic_smoke_parta2.yaml \
-    --batch_size 2 --workers 0 --extra_tag verify --ckpt "$CKPT2"
-
 # 3. conv2-block microprofile (rulebook vs gather split)
 step conv2 python scripts/profile_conv2.py
 
@@ -59,10 +48,12 @@ step bitmap python scripts/exp_bitmap_lookup.py
 step bench-b8 python scripts/bench_models.py --models second,parta2 --batch_size 8
 step bench-b2 python scripts/bench_models.py --models second,parta2
 
-# 4b. SECOND e2e under the bitmap lookup backend (fresh compile; decides
-# whether the sort-free rulebooks become the TPU default)
+# 4b. e2e under the bitmap / per-level-auto lookup backends (fresh compile;
+# decides whether the sort-free rulebooks become the TPU default)
 step bench-b8-bitmap env PCDET_SPARSE_LOOKUP=bitmap \
     python scripts/bench_models.py --models second --batch_size 8
+step bench-b8-auto env PCDET_SPARSE_LOOKUP=auto \
+    python scripts/bench_models.py --models second,parta2 --batch_size 8
 
 # 4c. upper end of the batch-scaling curve (batched NMS + lazy decode may
 # keep paying past B8)
@@ -80,5 +71,18 @@ step stages python scripts/profile_eval_stages.py \
 
 # 7. roofline / MFU report
 step roofline python scripts/roofline.py
+
+# 8. two-stage path through the CLI (stage-2 changed in round 3: lazy
+# proposals + bf16 RCNN; round 3 also fixed host-voxelizer id ordering) —
+# Part-A2 EVAL compile alone is ~25-40 min, so it runs LAST: if the tunnel
+# flaps mid-queue, the perf measurements above have already landed.
+rm -rf output/synthetic_smoke_parta2/verify
+step verify-train-parta2 python tools/train.py \
+    --cfg_file tools/cfgs/synthetic_smoke_parta2.yaml \
+    --batch_size 2 --epochs 200 --workers 0 --extra_tag verify
+CKPT2=$(python -c "from pcdet_tpu.train.checkpoint import latest_checkpoint; print(latest_checkpoint('output/synthetic_smoke_parta2/verify/ckpt'))")
+step verify-eval-parta2 python tools/test.py \
+    --cfg_file tools/cfgs/synthetic_smoke_parta2.yaml \
+    --batch_size 2 --workers 0 --extra_tag verify --ckpt "$CKPT2"
 
 echo "=== chip queue done $(date)" | tee -a $LOG
