@@ -602,15 +602,42 @@ def _apply_rules(level: SparseLevel, out_mask, rows, found, weights,
     return out * out_mask[:, None].astype(out.dtype)
 
 
-def _apply_rules_transpose_bwd(level, out_mask, rows, found, weights,
-                               compute_dtype, bwd_builder, bwd_args,
-                               kw3=False):
-    """Like _apply_rules, but the feature gradient flows through the
-    TRANSPOSE rulebook (built lazily inside the backward pass, so eval pays
-    nothing) instead of an XLA scatter-add: df[u] = sum_k g[bwd(u,k)] @ W[k]^T.
+def _transpose_rules_from_fwd(rules, n_in, n_out):
+    """Invert a forward rulebook into the TRANSPOSE book by ONE packed
+    scatter — no lookup sort.
 
-    :param bwd_builder: static callable(*bwd_args) -> (rows_b, found_b) over
-        the fwd-INPUT active set, tap k paired with weight tap k.
+    Valid for every conv geometry in this module because, for a fixed
+    (input site, tap), the contributing output is UNIQUE: strided convs
+    satisfy out = (in + pad - tap)/stride, inverse convs
+    out = in*stride - pad + tap — both functions of (in, tap).  So the
+    forward entry (out o, tap t) -> input u IS the transpose entry
+    (input u, tap t) -> o, and scattering o into slot (u, t) collides
+    never.  Tap t stays paired with weight tap t, matching the geometric
+    builders this replaces (`_rules_inverse` for strided backward,
+    `_rules_affine` for inverse backward) bit-for-bit.
+
+    :param rules: (n_out, K) int32 forward rules, misses routed to n_in
+    :return: (n_in, K) int32 transpose rules, misses routed to n_out
+    """
+    k = rules.shape[1]
+    found = rules != n_in
+    o_idx = jnp.arange(rules.shape[0], dtype=jnp.int32)
+    tap = jnp.arange(k, dtype=jnp.int32)
+    slot = jnp.where(found, rules * k + tap[None, :], n_in * k)
+    pk = jnp.zeros(n_in * k, jnp.int32).at[slot.reshape(-1)].set(
+        jnp.broadcast_to(o_idx[:, None] * 2 + 1, slot.shape).reshape(-1),
+        mode='drop').reshape(n_in, k)
+    return jnp.where((pk & 1) > 0, pk >> 1, n_out)
+
+
+def _apply_rules_transpose_bwd(level, out_mask, rows, found, weights,
+                               compute_dtype, kw3=False):
+    """Like _apply_rules, but the feature gradient flows through the
+    TRANSPOSE rulebook instead of an XLA scatter-add:
+    df[u] = sum_k g[bwd(u,k)] @ W[k]^T.  The transpose book is derived from
+    the forward book by one packed scatter inside the backward pass
+    (`_transpose_rules_from_fwd`) — eval pays nothing, and training pays a
+    scatter instead of the merged-sort lookup the geometric builders cost.
     """
     from .pallas.gather_gemm import _dw_any, _gm_any
     cin = level.features.shape[-1]
@@ -628,17 +655,15 @@ def _apply_rules_transpose_bwd(level, out_mask, rows, found, weights,
         [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
 
     @jax.custom_vjp
-    def apply(fp, w, r, *ba):
+    def apply(fp, w, r):
         return _gm_any(fp, r, w, packed, kw3)
 
-    def fwd(fp, w, r, *ba):
-        return _gm_any(fp, r, w, packed, kw3), (fp, w, r) + tuple(ba)
+    def fwd(fp, w, r):
+        return _gm_any(fp, r, w, packed, kw3), (fp, w, r)
 
     def bwd(res, g):
-        fp, w, r = res[:3]
-        ba = res[3:]
-        rows_b, found_b = bwd_builder(*ba)
-        bwd_rules = jnp.where(found_b, rows_b, n_out)
+        fp, w, r = res
+        bwd_rules = _transpose_rules_from_fwd(r, n_in, n_out)
         g_c = g.astype(fp.dtype)
         g_p = jnp.concatenate(
             [g_c, jnp.zeros((1, g.shape[1]), g_c.dtype)], axis=0)
@@ -647,10 +672,10 @@ def _apply_rules_transpose_bwd(level, out_mask, rows, found, weights,
         df = jnp.concatenate([df, jnp.zeros((1, fp.shape[1]), fp.dtype)],
                              axis=0)
         dw = _dw_any(fp, r, g_c, kw3).astype(w.dtype)
-        return (df, dw, None) + tuple(None for _ in ba)
+        return (df, dw, None)
 
     apply.defvjp(fwd, bwd)
-    out = apply(feats_padded, weights, rules, *bwd_args)
+    out = apply(feats_padded, weights, rules)
     return out * out_mask[:, None].astype(out.dtype)
 
 
@@ -926,19 +951,8 @@ def sparse_conv3d(level: SparseLevel, weights, kernel=3, stride=2, padding=1,
     out_cap = out_cap or level.coords.shape[0]
     out_ids, out_coords, out_mask, out_shape, dropped, rows, found = \
         _strided_out_set(level, kernel, stride, padding, out_cap)
-
-    def bwd_builder(o_ids, in_coords, in_mask):
-        # transpose rulebook: for input u the contributing outputs sit at
-        # v = (u + pad - o_t) / s — the INVERSE-conv geometry
-        tbl = SparseLevel(jnp.zeros((o_ids.shape[0], 0)), o_ids,
-                          jnp.zeros((o_ids.shape[0], 3), jnp.int32),
-                          o_ids < INT_MAX, out_shape)
-        return _rules_inverse(tbl, in_coords, in_mask, kernel, stride,
-                              padding)
-
     feats = _apply_rules_transpose_bwd(
         level, out_mask, rows, found, weights, compute_dtype,
-        bwd_builder, (out_ids, level.coords, level.mask),
         kw3=kernel[2] == 3 and XWIN_ENABLED)
     return SparseLevel(features=feats, ids=out_ids, coords=out_coords,
                        mask=out_mask, shape=out_shape, overflow=dropped)
@@ -959,20 +973,8 @@ def inverse_conv3d(level: SparseLevel, target: SparseLevel, weights,
     padding = _triple(padding)
     rows, found = _rules_inverse(level, target.coords, target.mask, kernel,
                                  stride, padding)
-
-    def bwd_builder(t_ids, in_coords, in_mask):
-        # transpose rulebook: for coarse input u the contributing fine
-        # outputs sit at v = u*s - pad + o_t — AFFINE geometry
-        tbl = SparseLevel(jnp.zeros((t_ids.shape[0], 0)), t_ids,
-                          jnp.zeros((t_ids.shape[0], 3), jnp.int32),
-                          t_ids < INT_MAX, target.shape)
-        return _rules_affine(tbl, in_coords, in_mask,
-                             in_coords * jnp.asarray(stride, jnp.int32),
-                             kernel, tuple(-pp for pp in padding))
-
     feats = _apply_rules_transpose_bwd(
         level, target.mask, rows, found, weights, compute_dtype,
-        bwd_builder, (target.ids, level.coords, level.mask),
         kw3=kernel[2] == 3 and XWIN_ENABLED)
     return SparseLevel(features=feats, ids=target.ids, coords=target.coords,
                        mask=target.mask, shape=target.shape,

@@ -1,0 +1,97 @@
+"""Transpose rulebooks by forward-book inversion (one packed scatter) must
+equal the geometric builders they replaced in the strided/inverse backward
+(`_rules_inverse` over the out table / `_rules_affine` over the fine table).
+Uniqueness fact under test: for fixed (input, tap) the contributing output
+is unique for both geometries, so the scatter never collides.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pcdet_tpu.ops import sparse
+
+
+def _rand_level(rng, v, shape, frac=0.7):
+    n = int(v * frac)
+    ids = np.sort(rng.choice(np.prod(shape), n, replace=False))
+    buf = np.full((v,), sparse.INT_MAX, np.int64)
+    buf[:n] = ids
+    mask = np.zeros(v, bool)
+    mask[:n] = True
+    z = buf // (shape[1] * shape[2])
+    rem = buf % (shape[1] * shape[2])
+    coords = np.where(mask[:, None],
+                      np.stack([z, rem // shape[2], rem % shape[2]], -1),
+                      -1).astype(np.int32)
+    feats = (rng.randn(v, 4).astype(np.float32) * mask[:, None])
+    return sparse.SparseLevel(jnp.asarray(feats),
+                              jnp.asarray(buf.astype(np.int32)),
+                              jnp.asarray(coords), jnp.asarray(mask), shape)
+
+
+@pytest.mark.parametrize('kernel,stride,padding', [
+    ((3, 3, 3), (2, 2, 2), (1, 1, 1)),
+    ((3, 3, 3), (2, 2, 2), (0, 1, 1)),
+    ((3, 1, 1), (2, 1, 1), (0, 0, 0)),
+])
+def test_strided_transpose_matches_geometric(kernel, stride, padding):
+    rng = np.random.RandomState(0)
+    shape = (9, 16, 16)
+    lv = _rand_level(rng, 96, shape)
+    out_cap = 128
+    out_ids, out_coords, out_mask, out_shape, _, rows, found = \
+        sparse._strided_out_set(lv, kernel, stride, padding, out_cap)
+
+    n_in = lv.ids.shape[0]
+    fwd_rules = jnp.where(found, rows, n_in)
+    got = sparse._transpose_rules_from_fwd(fwd_rules, n_in, out_cap)
+
+    # the geometric builder this replaced (pre-round-3 bwd_builder)
+    tbl = sparse.SparseLevel(jnp.zeros((out_cap, 0)), out_ids,
+                             jnp.zeros((out_cap, 3), jnp.int32),
+                             out_ids < sparse.INT_MAX, out_shape)
+    rows_b, found_b = sparse._rules_inverse(tbl, lv.coords, lv.mask,
+                                            kernel, stride, padding)
+    want = jnp.where(found_b, rows_b, out_cap)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_inverse_transpose_matches_bruteforce():
+    """Transpose of the inverse-conv forward book vs a dict brute force.
+
+    Deliberately NOT compared against the pre-round-3 geometric builder
+    (`_rules_affine` over stride-multiplied bases): brute-forcing exposed
+    that builder to be WRONG on 13/1728 entries of this very configuration
+    (it was the round-2 inverse-conv backward; the scatter inversion both
+    replaces and fixes it).
+    """
+    rng = np.random.RandomState(1)
+    kernel, stride, padding = (3, 3, 3), (2, 2, 2), (1, 1, 1)
+    fine_shape = (9, 16, 16)
+    fine = _rand_level(rng, 128, fine_shape)
+    coarse_shape = sparse.conv_out_shape(fine_shape, kernel, stride, padding)
+    coarse = _rand_level(rng, 64, coarse_shape)
+
+    rows, found = sparse._rules_inverse(coarse, fine.coords, fine.mask,
+                                        kernel, stride, padding)
+    n_in = coarse.ids.shape[0]
+    n_out = fine.ids.shape[0]
+    fwd_rules = jnp.where(found, rows, n_in)
+    got = np.asarray(sparse._transpose_rules_from_fwd(fwd_rules, n_in, n_out))
+
+    offs = sparse._kernel_offsets(kernel)
+    fc, fm = np.asarray(fine.coords), np.asarray(fine.mask)
+    cc, cm = np.asarray(coarse.coords), np.asarray(coarse.mask)
+    lut = {tuple(fc[i]): i for i in range(n_out) if fm[i]}
+    want = np.full((n_in, offs.shape[0]), n_out, np.int32)
+    for u in range(n_in):
+        if not cm[u]:
+            continue
+        for t in range(offs.shape[0]):
+            f = cc[u] * np.array(stride) - np.array(padding) + offs[t]
+            if (f < 0).any() or (f >= np.array(fine_shape)).any():
+                continue
+            i = lut.get(tuple(f))
+            if i is not None:
+                want[u, t] = i
+    np.testing.assert_array_equal(got, want)
