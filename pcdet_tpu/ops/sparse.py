@@ -55,6 +55,16 @@ class SparseLevel(NamedTuple):
     # the UNet decoder inherits the stashed encoder levels' books through
     # inverse_conv3d).  Populated by the first k3 subm conv on the level.
     subm_rules: Any = None
+    # forward rulebook of the strided conv that PRODUCED this level
+    # ((out_cap, K) int32, misses routed to the parent cap) + its static
+    # geometry `strided_meta` = (kernel, stride, padding, parent_cap).
+    # An inverse conv undoing the same geometry onto the parent active set
+    # derives its book from this by ONE scatter (`_transpose_rules_from_fwd`)
+    # instead of a fresh merged-sort lookup — the second half of spconv's
+    # indice-key reuse (SparseInverseConv3d shares the key of the conv it
+    # inverts).  Unused books are dead values XLA eliminates.
+    strided_rules: Any = None
+    strided_meta: Any = None         # static; never vmapped
 
 
 def _triple(x):
@@ -212,6 +222,8 @@ AUTO_BITMAP_MAX_CELLS = int(os.environ.get('PCDET_BITMAP_MAX_CELLS',
 # loads) — lets the unattended chip queue keep producing numbers if the
 # xwin numerics gate ever trips on a new jaxlib.
 XWIN_ENABLED = os.environ.get('PCDET_DISABLE_XWIN', '') != '1'
+# occupancy-gated tile skipping in the gather kernels (A/B kill switch)
+TILE_GATE = os.environ.get('PCDET_DISABLE_TILE_GATE', '') != '1'
 
 
 def _bitmap_lookup_ext(ids_sorted, query_ids, grid_n):
@@ -569,6 +581,10 @@ def _apply_rules(level: SparseLevel, out_mask, rows, found, weights,
     if compute_dtype is not None:
         feats = feats.astype(compute_dtype)
         weights = weights.astype(compute_dtype)
+    # live rows are a PREFIX of every level (sorted ids, INT_MAX padding),
+    # so the Pallas kernels can skip whole dead tiles past the live count —
+    # caps run 1.3-1.9x typical occupancy at production shapes
+    n_live = jnp.sum(out_mask.astype(jnp.int32)) if TILE_GATE else None
     if mirror:
         # submanifold conv (out sites == in sites, odd kernel): the
         # tap-reversed rulebook IS the transpose rulebook, so the whole
@@ -579,7 +595,7 @@ def _apply_rules(level: SparseLevel, out_mask, rows, found, weights,
         feats_padded = jnp.concatenate(
             [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
         out = gather_matmul_subm(feats_padded, rules, rules[:, ::-1],
-                                 weights, packed, kw3)
+                                 weights, n_live, packed, kw3)
     elif jax.default_backend() != 'cpu':
         # Pallas rulebook gather+GEMM: XLA's row-gather slow path costs
         # ~240 ms/layer at V=16k (PERF_NOTES.md); the kernel is ~8x faster.
@@ -589,9 +605,9 @@ def _apply_rules(level: SparseLevel, out_mask, rows, found, weights,
         feats_padded = jnp.concatenate(
             [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
         if packed or kw3:
-            out = _gm_any(feats_padded, rules, weights, packed, kw3)
+            out = _gm_any(feats_padded, rules, weights, packed, kw3, n_live)
         else:
-            out = gather_matmul(feats_padded, rules, weights)
+            out = gather_matmul(feats_padded, rules, weights, n_live)
     else:
         gathered = feats[rows.reshape(-1)]                # (V*K, Cin)
         gathered = jnp.where(found.reshape(-1)[:, None], gathered,
@@ -653,29 +669,34 @@ def _apply_rules_transpose_bwd(level, out_mask, rows, found, weights,
     rules = jnp.where(found, rows, n_in)
     feats_padded = jnp.concatenate(
         [feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
+    # tile-occupancy gating (see _apply_rules): OUT rows gate fwd + dW,
+    # IN rows gate the transpose-book feature gradient.  Passed through the
+    # custom_vjp as args (closing a custom_vjp over tracers leaks them).
+    n_live_out = jnp.sum(out_mask.astype(jnp.int32)) if TILE_GATE else None
+    n_live_in = jnp.sum(level.mask.astype(jnp.int32)) if TILE_GATE else None
 
     @jax.custom_vjp
-    def apply(fp, w, r):
-        return _gm_any(fp, r, w, packed, kw3)
+    def apply(fp, w, r, nlo, nli):
+        return _gm_any(fp, r, w, packed, kw3, nlo)
 
-    def fwd(fp, w, r):
-        return _gm_any(fp, r, w, packed, kw3), (fp, w, r)
+    def fwd(fp, w, r, nlo, nli):
+        return _gm_any(fp, r, w, packed, kw3, nlo), (fp, w, r, nlo, nli)
 
     def bwd(res, g):
-        fp, w, r = res
+        fp, w, r, nlo, nli = res
         bwd_rules = _transpose_rules_from_fwd(r, n_in, n_out)
         g_c = g.astype(fp.dtype)
         g_p = jnp.concatenate(
             [g_c, jnp.zeros((1, g.shape[1]), g_c.dtype)], axis=0)
         w_t = jnp.transpose(w, (0, 2, 1)).astype(fp.dtype)
-        df = _gm_any(g_p, bwd_rules, w_t, packed, kw3).astype(fp.dtype)
+        df = _gm_any(g_p, bwd_rules, w_t, packed, kw3, nli).astype(fp.dtype)
         df = jnp.concatenate([df, jnp.zeros((1, fp.shape[1]), fp.dtype)],
                              axis=0)
-        dw = _dw_any(fp, r, g_c, kw3).astype(w.dtype)
-        return (df, dw, None)
+        dw = _dw_any(fp, r, g_c, kw3, nlo).astype(w.dtype)
+        return (df, dw, None, None, None)
 
     apply.defvjp(fwd, bwd)
-    out = apply(feats_padded, weights, rules)
+    out = apply(feats_padded, weights, rules, n_live_out, n_live_in)
     return out * out_mask[:, None].astype(out.dtype)
 
 
@@ -954,8 +975,11 @@ def sparse_conv3d(level: SparseLevel, weights, kernel=3, stride=2, padding=1,
     feats = _apply_rules_transpose_bwd(
         level, out_mask, rows, found, weights, compute_dtype,
         kw3=kernel[2] == 3 and XWIN_ENABLED)
+    n_in = level.ids.shape[0]
     return SparseLevel(features=feats, ids=out_ids, coords=out_coords,
-                       mask=out_mask, shape=out_shape, overflow=dropped)
+                       mask=out_mask, shape=out_shape, overflow=dropped,
+                       strided_rules=jnp.where(found, rows, n_in),
+                       strided_meta=(kernel, stride, padding, n_in))
 
 
 def inverse_conv3d(level: SparseLevel, target: SparseLevel, weights,
@@ -971,14 +995,32 @@ def inverse_conv3d(level: SparseLevel, target: SparseLevel, weights,
     kernel = _triple(kernel)
     stride = _triple(stride)
     padding = _triple(padding)
-    rows, found = _rules_inverse(level, target.coords, target.mask, kernel,
-                                 stride, padding)
+    n_coarse = level.ids.shape[0]
+    n_fine = target.ids.shape[0]
+    if (level.strided_rules is not None
+            and level.strided_meta == (kernel, stride, padding, n_fine)):
+        # indice-key reuse: this conv inverts exactly the strided conv that
+        # produced `level` onto the same fine active set (the UNet decoder
+        # contract, reference rpn_unet.py SparseInverseConv3d indice keys) —
+        # the book is the stashed forward book's transpose: one scatter,
+        # no lookup sort.  Correct only when `target` IS that conv's input
+        # level (same caps alone don't guarantee it — same contract as
+        # spconv's indice_key names).
+        inv_rules = _transpose_rules_from_fwd(level.strided_rules, n_fine,
+                                              n_coarse)
+        found = (inv_rules != n_coarse) & target.mask[:, None]
+        rows = jnp.where(found, inv_rules, 0)
+    else:
+        rows, found = _rules_inverse(level, target.coords, target.mask,
+                                     kernel, stride, padding)
     feats = _apply_rules_transpose_bwd(
         level, target.mask, rows, found, weights, compute_dtype,
         kw3=kernel[2] == 3 and XWIN_ENABLED)
     return SparseLevel(features=feats, ids=target.ids, coords=target.coords,
                        mask=target.mask, shape=target.shape,
-                       subm_rules=target.subm_rules)
+                       subm_rules=target.subm_rules,
+                       strided_rules=target.strided_rules,
+                       strided_meta=target.strided_meta)
 
 
 def sparse_maxpool3d(level: SparseLevel, kernel=3, stride=2, padding=1,
@@ -1009,28 +1051,38 @@ def sparse_maxpool3d(level: SparseLevel, kernel=3, stride=2, padding=1,
 # voxels (spconv BatchNorm1d semantics).
 # ---------------------------------------------------------------------------
 
-def _vmap_level_op(fn, out_shape, level: SparseLevel, *extra_levels):
+def _vmap_level_op(fn, out_shape, level: SparseLevel, *extra_levels,
+                   out_meta=None):
     """vmap a per-sample SparseLevel op over batched SparseLevels.
 
-    `out_shape` must be the statically-known output spatial shape.
+    `out_shape` must be the statically-known output spatial shape;
+    `out_meta` the statically-known `strided_meta` of the output level
+    (vmap carries the book arrays, statics ride outside).
     """
-    shapes = [level.shape] + [e.shape for e in extra_levels]
+    all_levels = [level] + list(extra_levels)
+    shapes = [lv.shape for lv in all_levels]
+    metas = [lv.strided_meta for lv in all_levels]
 
     def per_sample(*arrays):
         levels = []
         for i, shape in enumerate(shapes):
-            f, ids, c, m, sr = arrays[5 * i: 5 * i + 5]
-            levels.append(SparseLevel(f, ids, c, m, shape, subm_rules=sr))
+            f, ids, c, m, sr, strb = arrays[6 * i: 6 * i + 6]
+            levels.append(SparseLevel(f, ids, c, m, shape, subm_rules=sr,
+                                      strided_rules=strb,
+                                      strided_meta=metas[i]))
         out = fn(*levels)
-        # overflow / subm_rules are None (empty pytree) or arrays -> vmapped
+        # overflow / subm_rules / strided_rules are None (empty pytree) or
+        # arrays -> vmapped
         return ((out.features, out.ids, out.coords, out.mask), out.overflow,
-                out.subm_rules)
+                out.subm_rules, out.strided_rules)
 
     flat = []
-    for lv in [level] + list(extra_levels):
-        flat += [lv.features, lv.ids, lv.coords, lv.mask, lv.subm_rules]
-    (f, ids, c, m), ovf, sr = jax.vmap(per_sample)(*flat)
-    return SparseLevel(f, ids, c, m, out_shape, overflow=ovf, subm_rules=sr)
+    for lv in all_levels:
+        flat += [lv.features, lv.ids, lv.coords, lv.mask, lv.subm_rules,
+                 lv.strided_rules]
+    (f, ids, c, m), ovf, sr, strb = jax.vmap(per_sample)(*flat)
+    return SparseLevel(f, ids, c, m, out_shape, overflow=ovf, subm_rules=sr,
+                       strided_rules=strb, strided_meta=out_meta)
 
 
 def conv_out_shape(in_shape, kernel, stride, padding):
@@ -1042,15 +1094,18 @@ def conv_out_shape(in_shape, kernel, stride, padding):
 def subm_conv3d_batched(level, weights, kernel=3, compute_dtype=None):
     return _vmap_level_op(
         lambda lv: subm_conv3d(lv, weights, kernel, compute_dtype),
-        level.shape, level)
+        level.shape, level, out_meta=level.strided_meta)
 
 
 def sparse_conv3d_batched(level, weights, kernel=3, stride=2, padding=1,
                           out_cap=None, compute_dtype=None):
     out_shape = conv_out_shape(level.shape, kernel, stride, padding)
+    out_meta = (_triple(kernel), _triple(stride), _triple(padding),
+                level.ids.shape[-1])
     return _vmap_level_op(
         lambda lv: sparse_conv3d(lv, weights, kernel, stride, padding,
-                                 out_cap, compute_dtype), out_shape, level)
+                                 out_cap, compute_dtype), out_shape, level,
+        out_meta=out_meta)
 
 
 def inverse_conv3d_batched(level, target, weights, kernel=3, stride=2,
@@ -1058,7 +1113,7 @@ def inverse_conv3d_batched(level, target, weights, kernel=3, stride=2,
     return _vmap_level_op(
         lambda lv, tg: inverse_conv3d(lv, tg, weights, kernel, stride,
                                       padding, compute_dtype),
-        target.shape, level, target)
+        target.shape, level, target, out_meta=target.strided_meta)
 
 
 def sparse_maxpool3d_batched(level, kernel=3, stride=2, padding=1,

@@ -95,3 +95,70 @@ def test_inverse_transpose_matches_bruteforce():
             if i is not None:
                 want[u, t] = i
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize('kernel,stride,padding', [
+    ((3, 3, 3), (2, 2, 2), (1, 1, 1)),
+    ((3, 3, 3), (2, 2, 2), (0, 1, 1)),
+])
+def test_inverse_conv_indice_key_reuse(kernel, stride, padding):
+    """inverse_conv3d on a level produced by the matching strided conv must
+    reuse the stashed forward book (one scatter) and produce bit-identical
+    features to the fresh `_rules_inverse` lookup path."""
+    rng = np.random.RandomState(7)
+    shape = (9, 16, 16)
+    fine = _rand_level(rng, 96, shape)
+    w_dn = jnp.asarray(rng.randn(27, 4, 6).astype(np.float32))
+    w_up = jnp.asarray(rng.randn(27, 6, 5).astype(np.float32))
+
+    coarse = sparse.sparse_conv3d(fine, w_dn, kernel, stride, padding,
+                                  out_cap=128)
+    assert coarse.strided_rules is not None
+    assert coarse.strided_meta == (kernel, stride, padding, 96)
+
+    up = sparse.inverse_conv3d(coarse, fine, w_up, kernel, stride, padding)
+
+    # strip the stash -> the generic lookup path
+    coarse_fresh = coarse._replace(strided_rules=None, strided_meta=None)
+    up_ref = sparse.inverse_conv3d(coarse_fresh, fine, w_up, kernel, stride,
+                                   padding)
+    np.testing.assert_array_equal(np.asarray(up.features),
+                                  np.asarray(up_ref.features))
+
+    # gradients flow identically through both book paths
+    def loss(fn_level, w):
+        return sparse.inverse_conv3d(fn_level, fine, w, kernel, stride,
+                                     padding).features.sum()
+    import jax
+    g1 = jax.grad(lambda w: loss(coarse, w))(w_up)
+    g2 = jax.grad(lambda w: loss(coarse_fresh, w))(w_up)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_unet_decoder_reuses_forward_books(monkeypatch):
+    """The full UNetV2 decoder must take the indice-key-reuse path for all
+    three inverse convs — the subm convs / BN / residual fusion between the
+    encoder's strided convs and the decoder must not drop the stashed books
+    (spconv shares rulebooks by indice_key name, rpn_unet.py; ours ride the
+    SparseLevel through `_replace`)."""
+    import jax
+    from pcdet_tpu.models.backbones3d import UNetV2
+
+    rng = np.random.RandomState(11)
+    shape = (25, 16, 16)
+    levels = [_rand_level(rng, 64, shape) for _ in range(2)]
+    lv = sparse.SparseLevel(
+        *[jnp.stack([getattr(l, f) for l in levels])
+          for f in ('features', 'ids', 'coords', 'mask')], shape)
+
+    model = UNetV2(sparse_shape=shape)
+    variables = model.init(jax.random.PRNGKey(0), lv, train=False)
+    bev_ref, aux_ref = model.apply(variables, lv, train=False)
+
+    def boom(*a, **k):
+        raise AssertionError('decoder fell back to fresh inverse lookup')
+    monkeypatch.setattr(sparse, '_rules_inverse', boom)
+    bev, aux = model.apply(variables, lv, train=False)
+    np.testing.assert_array_equal(np.asarray(bev), np.asarray(bev_ref))
+    np.testing.assert_array_equal(np.asarray(aux['u_seg_preds']),
+                                  np.asarray(aux_ref['u_seg_preds']))
