@@ -20,11 +20,28 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TV = 64          # output rows per program (static unroll bound)
+import os
+
+TV = int(os.environ.get('PCDET_GATHER_TV', '64'))   # output rows per program
 INTERPRET = False   # tests set True to run kernels in interpret mode on CPU
 
 
-def _kernel(rules_ref, feats_ref, w_ref, out_ref, g_scratch):
+def _tile_live(n_live, n_tiles):
+    """(n_tiles, 1) int32 flags: tile t is live iff its first row < n_live.
+
+    Live rows of every SparseLevel are a sorted PREFIX (ids ascend with
+    INT_MAX padding, out-sets keep smallest ids on truncation), and rows
+    >= n_live carry all-miss rules (found=False routes to the zero row), so
+    a dead tile's output is exactly zeros — the gated kernels skip its
+    loads/dots and store zeros instead.  Caps run 1.3-1.9x typical
+    occupancy (measure_occupancy.py), so the skip is a real fraction of
+    kernel time at production shapes."""
+    idx = jnp.arange(n_tiles, dtype=jnp.int32)[:, None] * TV
+    return (idx < jnp.asarray(n_live, jnp.int32)).astype(jnp.int32)
+
+
+def _kernel(live_ref, rules_ref, feats_ref, w_ref, out_ref, g_scratch):
+    # live_ref: (1, 1) int32 SMEM tile-occupancy flag (see _tile_live);
     # rules_ref: (TV, K) int32 in SMEM; feats_ref: (V+1, Cin) VMEM;
     # w_ref: (K, Cin, Cout) VMEM; out_ref: (TV, Cout); g_scratch: (TV, Cin).
     # feats/weights may be bfloat16 (halves the VMEM streaming that
@@ -46,9 +63,15 @@ def _kernel(rules_ref, feats_ref, w_ref, out_ref, g_scratch):
                             precision=prec)
         return acc
 
-    acc = jax.lax.fori_loop(
-        0, k_taps, tap_body, jnp.zeros((TV, cout), jnp.float32))
-    out_ref[:] = acc
+    @pl.when(live_ref[0, 0] != 0)
+    def _():
+        acc = jax.lax.fori_loop(
+            0, k_taps, tap_body, jnp.zeros((TV, cout), jnp.float32))
+        out_ref[:] = acc
+
+    @pl.when(live_ref[0, 0] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
 
 # ---------------------------------------------------------------------------
@@ -61,7 +84,8 @@ def _kernel(rules_ref, feats_ref, w_ref, out_ref, g_scratch):
 # (scripts/exp_gather_packed.py; rel err ~2.5e-3 — inherent to bf16).
 # ---------------------------------------------------------------------------
 
-def _kernel_packed(rules_ref, featsp_ref, w_ref, out_ref, g_scratch):
+def _kernel_packed(live_ref, rules_ref, featsp_ref, w_ref, out_ref,
+                   g_scratch):
     # featsp_ref: (V+1, C/2) int32 (hi half = channel 2c+1, lo = 2c);
     # w_ref: (K, 2, C/2, Cout) f32 ([k, 0] even channels, [k, 1] odd);
     # g_scratch: (TV, C/2) int32.
@@ -82,9 +106,15 @@ def _kernel_packed(rules_ref, featsp_ref, w_ref, out_ref, g_scratch):
                             preferred_element_type=jnp.float32)
         return acc
 
-    acc = jax.lax.fori_loop(
-        0, k_taps, tap_body, jnp.zeros((TV, cout), jnp.float32))
-    out_ref[:] = acc
+    @pl.when(live_ref[0, 0] != 0)
+    def _():
+        acc = jax.lax.fori_loop(
+            0, k_taps, tap_body, jnp.zeros((TV, cout), jnp.float32))
+        out_ref[:] = acc
+
+    @pl.when(live_ref[0, 0] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
 
 # ---------------------------------------------------------------------------
@@ -115,58 +145,81 @@ def _xwin_select(wv, selv, zero):
     return jnp.concatenate(parts, axis=1)
 
 
-def _kernel_xwin(base_ref, sel_ref, feats_ref, w_ref, out_ref, blk):
-    """base_ref: (TV, G) SMEM window starts; sel_ref: (TV, G) VMEM packed
-    offsets; feats_ref: (V+2, Cin) VMEM (last 2 rows zero); w_ref:
-    (G, 3*Cin, Cout); blk: (3*TV, Cin) scratch."""
+def _kernel_xwin(live_ref, base_ref, sel_ref, feats_ref, w_ref, out_ref,
+                 blk):
+    """live_ref: (1, 1) SMEM tile-occupancy flag; base_ref: (TV, G) SMEM
+    window starts; sel_ref: (TV, G) VMEM packed offsets; feats_ref:
+    (V+2, Cin) VMEM (last 2 rows zero); w_ref: (G, 3*Cin, Cout); blk:
+    (3*TV, Cin) scratch."""
     g_groups = w_ref.shape[0]
     cin = feats_ref.shape[1]
     cout = w_ref.shape[2]
     tv = out_ref.shape[0]
-    selv_all = sel_ref[:]
-    acc = jnp.zeros((tv, cout), jnp.float32)
-    zero = jnp.zeros((tv, cin), feats_ref.dtype)
-    prec = (jax.lax.Precision.DEFAULT if feats_ref.dtype == jnp.bfloat16
-            else jax.lax.Precision.HIGHEST)
-    for g in range(g_groups):                   # static unroll
-        for i in range(tv):
-            blk[3 * i:3 * i + 3, :] = feats_ref[pl.ds(base_ref[i, g], 3), :]
-        wv = blk[:].reshape(tv, 3, cin)
-        sp = _xwin_select(wv, selv_all[:, g], zero)
-        acc = acc + jnp.dot(sp, w_ref[g], preferred_element_type=jnp.float32,
-                            precision=prec)
-    out_ref[:] = acc
+
+    @pl.when(live_ref[0, 0] != 0)
+    def _():
+        selv_all = sel_ref[:]
+        acc = jnp.zeros((tv, cout), jnp.float32)
+        zero = jnp.zeros((tv, cin), feats_ref.dtype)
+        prec = (jax.lax.Precision.DEFAULT if feats_ref.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST)
+        for g in range(g_groups):               # static unroll
+            for i in range(tv):
+                blk[3 * i:3 * i + 3, :] = feats_ref[
+                    pl.ds(base_ref[i, g], 3), :]
+            wv = blk[:].reshape(tv, 3, cin)
+            sp = _xwin_select(wv, selv_all[:, g], zero)
+            acc = acc + jnp.dot(sp, w_ref[g],
+                                preferred_element_type=jnp.float32,
+                                precision=prec)
+        out_ref[:] = acc
+
+    @pl.when(live_ref[0, 0] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
 
-def _kernel_xwin_packed(base_ref, sel_ref, featsp_ref, w_ref, out_ref, blk):
+def _kernel_xwin_packed(live_ref, base_ref, sel_ref, featsp_ref, w_ref,
+                        out_ref, blk):
     """Packed bf16-pairs x-window kernel.  featsp_ref: (V+2, Cin/2) int32;
     w_ref: (G, 2, 3*Cin/2, Cout) ([g, 0] even channels, [g, 1] odd)."""
     g_groups = w_ref.shape[0]
     c2 = featsp_ref.shape[1]
     cout = w_ref.shape[3]
     tv = out_ref.shape[0]
-    selv_all = sel_ref[:]
-    acc = jnp.zeros((tv, cout), jnp.float32)
-    zero = jnp.zeros((tv, c2), jnp.int32)
-    for g in range(g_groups):                   # static unroll
-        for i in range(tv):
-            blk[3 * i:3 * i + 3, :] = featsp_ref[pl.ds(base_ref[i, g], 3), :]
-        wv = blk[:].reshape(tv, 3, c2)
-        sp = _xwin_select(wv, selv_all[:, g], zero)
-        lo = jax.lax.bitcast_convert_type(sp << 16, jnp.float32)
-        hi = jax.lax.bitcast_convert_type(sp & jnp.int32(-65536), jnp.float32)
-        acc = acc + jnp.dot(lo, w_ref[g, 0],
-                            preferred_element_type=jnp.float32)
-        acc = acc + jnp.dot(hi, w_ref[g, 1],
-                            preferred_element_type=jnp.float32)
-    out_ref[:] = acc
+
+    @pl.when(live_ref[0, 0] != 0)
+    def _():
+        selv_all = sel_ref[:]
+        acc = jnp.zeros((tv, cout), jnp.float32)
+        zero = jnp.zeros((tv, c2), jnp.int32)
+        for g in range(g_groups):               # static unroll
+            for i in range(tv):
+                blk[3 * i:3 * i + 3, :] = featsp_ref[
+                    pl.ds(base_ref[i, g], 3), :]
+            wv = blk[:].reshape(tv, 3, c2)
+            sp = _xwin_select(wv, selv_all[:, g], zero)
+            lo = jax.lax.bitcast_convert_type(sp << 16, jnp.float32)
+            hi = jax.lax.bitcast_convert_type(sp & jnp.int32(-65536),
+                                              jnp.float32)
+            acc = acc + jnp.dot(lo, w_ref[g, 0],
+                                preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(hi, w_ref[g, 1],
+                                preferred_element_type=jnp.float32)
+        out_ref[:] = acc
+
+    @pl.when(live_ref[0, 0] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
 
 @jax.jit
-def _gather_matmul_xwin_call(feats, base, sel, weights_grouped):
+def _gather_matmul_xwin_call(feats, base, sel, weights_grouped, n_live=None):
     """feats: (V+2, Cin) f32/int32-packed (last 2 rows zero); base/sel:
     (V, G) int32; weights_grouped: (G, 3*Cin, Cout) f32 or
-    (G, 2, 3*Cin/2, Cout) for the packed table."""
+    (G, 2, 3*Cin/2, Cout) for the packed table; n_live: optional scalar
+    count of live output rows (live rows are a prefix) — tiles past it are
+    skipped."""
     vp, g = base.shape
     packed = feats.dtype == jnp.int32
     cout = weights_grouped.shape[-1]
@@ -174,11 +227,14 @@ def _gather_matmul_xwin_call(feats, base, sel, weights_grouped):
     if pad:
         base = jnp.pad(base, ((0, pad), (0, 0)))
         sel = jnp.pad(sel, ((0, pad), (0, 0)), constant_values=0x3f)
+    n_tiles = base.shape[0] // TV
+    live = _tile_live(vp if n_live is None else n_live, n_tiles)
     out = pl.pallas_call(
         _kernel_xwin_packed if packed else _kernel_xwin,
         out_shape=jax.ShapeDtypeStruct((base.shape[0], cout), jnp.float32),
-        grid=(base.shape[0] // TV,),
+        grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((TV, g), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((TV, g), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -190,7 +246,7 @@ def _gather_matmul_xwin_call(feats, base, sel, weights_grouped):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=INTERPRET,
-    )(base, sel, feats, weights_grouped)
+    )(live, base, sel, feats, weights_grouped)
     return out[:vp]
 
 
@@ -223,18 +279,22 @@ def split_weights_packed(w):
 
 
 @jax.jit
-def _gather_matmul_packed_call(feats_packed, rules, weights_split):
+def _gather_matmul_packed_call(feats_packed, rules, weights_split,
+                               n_live=None):
     vp, k = rules.shape
     cout = weights_split.shape[3]
     pad = (-vp) % TV
     if pad:
         rules = jnp.pad(rules, ((0, pad), (0, 0)),
                         constant_values=feats_packed.shape[0] - 1)
+    n_tiles = rules.shape[0] // TV
+    live = _tile_live(vp if n_live is None else n_live, n_tiles)
     out = pl.pallas_call(
         _kernel_packed,
         out_shape=jax.ShapeDtypeStruct((rules.shape[0], cout), jnp.float32),
-        grid=(rules.shape[0] // TV,),
+        grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((TV, k), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -244,22 +304,24 @@ def _gather_matmul_packed_call(feats_packed, rules, weights_split):
         scratch_shapes=[pltpu.VMEM((TV, feats_packed.shape[1]), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(rules, feats_packed, weights_split)
+        interpret=INTERPRET,
+    )(live, rules, feats_packed, weights_split)
     return out[:vp]
 
 
 @jax.custom_vjp
-def gather_matmul(features, rules, weights):
+def gather_matmul(features, rules, weights, n_live=None):
     """:param features: (V+1, Cin) f32, last row zeros
     :param rules: (V, K) int32 row indices in [0, V]
     :param weights: (K, Cin, Cout) f32
+    :param n_live: optional scalar live-row count (live rows are a prefix)
     :return: (V, Cout) f32
     """
-    return _gather_matmul_fwd_only(features, rules, weights)
+    return _gather_matmul_fwd_only(features, rules, weights, n_live)
 
 
 @jax.jit
-def _gather_matmul_fwd_only(features, rules, weights):
+def _gather_matmul_fwd_only(features, rules, weights, n_live=None):
     v, k = rules.shape
     cin = features.shape[1]
     cout = weights.shape[2]
@@ -268,12 +330,15 @@ def _gather_matmul_fwd_only(features, rules, weights):
         rules = jnp.pad(rules, ((0, pad), (0, 0)),
                         constant_values=features.shape[0] - 1)
     vp = rules.shape[0]
+    n_tiles = vp // TV
+    live = _tile_live(v if n_live is None else n_live, n_tiles)
 
     out = pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((vp, cout), jnp.float32),
-        grid=(vp // TV,),
+        grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((TV, k), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),      # full feature table
@@ -284,12 +349,13 @@ def _gather_matmul_fwd_only(features, rules, weights):
         scratch_shapes=[pltpu.VMEM((TV, cin), features.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(rules, features, weights)
+        interpret=INTERPRET,
+    )(live, rules, features, weights)
     return out[:v]
 
 
-def _gather_matmul_vjp_fwd(features, rules, weights):
-    return _gather_matmul_fwd_only(features, rules, weights), (
+def _gather_matmul_vjp_fwd(features, rules, weights, n_live=None):
+    return _gather_matmul_fwd_only(features, rules, weights, n_live), (
         features, rules, weights)
 
 
@@ -311,7 +377,7 @@ def _gather_matmul_vjp_bwd(res, g):
                          preferred_element_type=jnp.float32)
     df = jnp.zeros_like(features).at[rules.reshape(-1)].add(
         contrib.reshape(v * k, cin))
-    return df, None, dw
+    return df, None, dw, None
 
 
 gather_matmul.defvjp(_gather_matmul_vjp_fwd, _gather_matmul_vjp_bwd)
@@ -321,7 +387,8 @@ gather_matmul.defvjp(_gather_matmul_vjp_fwd, _gather_matmul_vjp_bwd)
 # dW kernel for the subm-conv backward: dW[k] = feats[rules[:, k]]^T @ g
 # ---------------------------------------------------------------------------
 
-def _dw_kernel(rules_ref, g_ref, feats_ref, out_ref, f_scratch, acc_ref):
+def _dw_kernel(live_ref, rules_ref, g_ref, feats_ref, out_ref, f_scratch,
+               acc_ref):
     """Grid (K, n_tiles) with the tile dim fastest: for each tap k the
     scratch accumulator is reset at tile 0, accumulates one
     (Cin, TV) x (TV, Cout) MXU matmul per tile, and lands in out block k at
@@ -337,22 +404,26 @@ def _dw_kernel(rules_ref, g_ref, feats_ref, out_ref, f_scratch, acc_ref):
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    for r in range(f_scratch.shape[0]):          # static unroll
-        row = rules_ref[r, k]
-        f_scratch[r, :] = feats_ref[row, :]
-    prec = (jax.lax.Precision.DEFAULT if f_scratch.dtype == jnp.bfloat16
-            else jax.lax.Precision.HIGHEST)
-    acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
-        f_scratch[:], g_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
+    # dead tiles contribute exactly zero (their rules all route to the zero
+    # row), so the accumulate is skipped outright
+    @pl.when(live_ref[0, 0] != 0)
+    def _():
+        for r in range(f_scratch.shape[0]):      # static unroll
+            row = rules_ref[r, k]
+            f_scratch[r, :] = feats_ref[row, :]
+        prec = (jax.lax.Precision.DEFAULT if f_scratch.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST)
+        acc_ref[...] = acc_ref[...] + jax.lax.dot_general(
+            f_scratch[:], g_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
 
     @pl.when(i == n - 1)
     def _():
         out_ref[0] = acc_ref[...]
 
 
-def _dw_kernel_xwin(base_ref, sel_ref, g_ref, feats_ref, out_ref, blk,
-                    acc_ref):
+def _dw_kernel_xwin(live_ref, base_ref, sel_ref, g_ref, feats_ref, out_ref,
+                    blk, acc_ref):
     """x-window dW: grid (n_tiles,); all G groups statically unrolled so
     the selector column index is static.  One (3, Cin) block load per
     (output row, group) replaces 3 row loads; the tap selects reuse
@@ -369,21 +440,24 @@ def _dw_kernel_xwin(base_ref, sel_ref, g_ref, feats_ref, out_ref, blk,
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    selv_all = sel_ref[:]
-    gv = g_ref[:]
-    zero = jnp.zeros((tv, cin), feats_ref.dtype)
-    prec = (jax.lax.Precision.DEFAULT if feats_ref.dtype == jnp.bfloat16
-            else jax.lax.Precision.HIGHEST)
-    for g in range(g_groups):                   # static unroll
-        for r in range(tv):
-            blk[3 * r:3 * r + 3, :] = feats_ref[pl.ds(base_ref[r, g], 3), :]
-        wv = blk[:].reshape(tv, 3, cin)
-        sp = _xwin_select(wv, selv_all[:, g], zero)     # (TV, 3*Cin)
-        d = jax.lax.dot_general(sp, gv, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                                precision=prec)          # (3*Cin, Cout)
-        acc_ref[3 * cin * g:3 * cin * (g + 1), :] = (
-            acc_ref[3 * cin * g:3 * cin * (g + 1), :] + d)
+    @pl.when(live_ref[0, 0] != 0)
+    def _():
+        selv_all = sel_ref[:]
+        gv = g_ref[:]
+        zero = jnp.zeros((tv, cin), feats_ref.dtype)
+        prec = (jax.lax.Precision.DEFAULT if feats_ref.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST)
+        for g in range(g_groups):               # static unroll
+            for r in range(tv):
+                blk[3 * r:3 * r + 3, :] = feats_ref[
+                    pl.ds(base_ref[r, g], 3), :]
+            wv = blk[:].reshape(tv, 3, cin)
+            sp = _xwin_select(wv, selv_all[:, g], zero)  # (TV, 3*Cin)
+            d = jax.lax.dot_general(sp, gv, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec)      # (3*Cin, Cout)
+            acc_ref[3 * cin * g:3 * cin * (g + 1), :] = (
+                acc_ref[3 * cin * g:3 * cin * (g + 1), :] + d)
 
     @pl.when(i == n - 1)
     def _():
@@ -391,7 +465,7 @@ def _dw_kernel_xwin(base_ref, sel_ref, g_ref, feats_ref, out_ref, blk,
 
 
 @jax.jit
-def gather_dw_xwin(features, base, sel, g):
+def gather_dw_xwin(features, base, sel, g, n_live=None):
     """dW via the x-window gather (kw=3 books): features (V+2, Cin) f32
     (last 2 rows zero), base/sel (V, G) int32, g (V, Cout) ->
     (3*G, Cin, Cout)."""
@@ -403,12 +477,15 @@ def gather_dw_xwin(features, base, sel, g):
         base = jnp.pad(base, ((0, pad), (0, 0)))
         sel = jnp.pad(sel, ((0, pad), (0, 0)), constant_values=0x3f)
         g = jnp.pad(g, ((0, pad), (0, 0)))
+    n_tiles = base.shape[0] // TV
+    live = _tile_live(vp if n_live is None else n_live, n_tiles)
     out = pl.pallas_call(
         _dw_kernel_xwin,
         out_shape=jax.ShapeDtypeStruct((3 * n_groups, cin, cout),
                                        jnp.float32),
-        grid=(base.shape[0] // TV,),
+        grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((TV, n_groups), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((TV, n_groups), lambda i: (i, 0),
@@ -423,12 +500,12 @@ def gather_dw_xwin(features, base, sel, g):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=INTERPRET,
-    )(base, sel, g, features)
+    )(live, base, sel, g, features)
     return out
 
 
 @jax.jit
-def gather_dw(features, rules, g):
+def gather_dw(features, rules, g, n_live=None):
     """dW[k] = sum_v features[rules[v, k]] (outer) g[v]  ->  (K, Cin, Cout).
 
     :param features: (V+1, Cin), last row zeros; :param rules: (V, K) int32
@@ -443,12 +520,16 @@ def gather_dw(features, rules, g):
                         constant_values=features.shape[0] - 1)
         g = jnp.pad(g, ((0, pad), (0, 0)))
     vp = rules.shape[0]
+    n_tiles = vp // TV
+    live = _tile_live(v if n_live is None else n_live, n_tiles)
 
     out = pl.pallas_call(
         _dw_kernel,
         out_shape=jax.ShapeDtypeStruct((k, cin, cout), jnp.float32),
-        grid=(k, vp // TV),
+        grid=(k, n_tiles),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda kk, i: (i, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((TV, k), lambda kk, i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((TV, cout), lambda kk, i: (i, 0),
@@ -461,7 +542,8 @@ def gather_dw(features, rules, g):
                         pltpu.VMEM((cin, cout), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(rules, g, features)
+        interpret=INTERPRET,
+    )(live, rules, g, features)
     return out
 
 
@@ -469,7 +551,7 @@ def gather_dw(features, rules, g):
 # Scatter-free subm-conv matmul: backward uses the MIRRORED rulebook
 # ---------------------------------------------------------------------------
 
-def _gm_any(features, rules, weights, packed=False, kw3=False):
+def _gm_any(features, rules, weights, packed=False, kw3=False, n_live=None):
     """gather+GEMM on either backend (Pallas on TPU, XLA gather on CPU).
 
     packed=True streams the table as bf16 pairs packed in int32 words
@@ -478,7 +560,10 @@ def _gm_any(features, rules, weights, packed=False, kw3=False):
 
     kw3=True (static) asserts the rulebook came from a kernel with kw=3 in
     `_kernel_offsets` tap order, enabling the x-window kernel (one (3, Cin)
-    block load per (dz, dy) tap group instead of 3 row loads)."""
+    block load per (dz, dy) tap group instead of 3 row loads).
+
+    n_live: optional scalar count of live output rows (a prefix — see
+    _tile_live); tiles past it skip their loads/dots on TPU."""
     if jax.default_backend() != 'cpu':
         if kw3 and rules.shape[1] % 3 == 0:
             from ..sparse import _xwin_selectors
@@ -489,16 +574,17 @@ def _gm_any(features, rules, weights, packed=False, kw3=False):
                 w_r = weights.astype(jnp.bfloat16).astype(jnp.float32)
                 return _gather_matmul_xwin_call(
                     pack_bf16_pairs(feats2), base, sel,
-                    group_weights_x_packed(w_r))
+                    group_weights_x_packed(w_r), n_live)
             return _gather_matmul_xwin_call(feats2, base, sel,
-                                            group_weights_x(weights))
+                                            group_weights_x(weights), n_live)
         if packed and features.shape[1] % 2 == 0:
             # weights bf16-rounded (stored f32 — they are tiny) so numerics
             # match the CPU bf16 emulation below
             w_r = weights.astype(jnp.bfloat16).astype(jnp.float32)
             return _gather_matmul_packed_call(
-                pack_bf16_pairs(features), rules, split_weights_packed(w_r))
-        return _gather_matmul_fwd_only(features, rules, weights)
+                pack_bf16_pairs(features), rules, split_weights_packed(w_r),
+                n_live)
+        return _gather_matmul_fwd_only(features, rules, weights, n_live)
     if packed:
         features = features.astype(jnp.bfloat16)
         weights = weights.astype(jnp.bfloat16)
@@ -509,15 +595,15 @@ def _gm_any(features, rules, weights, packed=False, kw3=False):
                    preferred_element_type=jnp.float32)
 
 
-def _dw_any(features, rules, g, kw3=False):
+def _dw_any(features, rules, g, kw3=False, n_live=None):
     if jax.default_backend() != 'cpu':
         if kw3 and rules.shape[1] % 3 == 0:
             from ..sparse import _xwin_selectors
             base, sel = _xwin_selectors(rules, features.shape[0] - 1)
             zrow = jnp.zeros((1, features.shape[1]), features.dtype)
             return gather_dw_xwin(jnp.concatenate([features, zrow], axis=0),
-                                  base, sel, g)
-        return gather_dw(features, rules, g)
+                                  base, sel, g, n_live)
+        return gather_dw(features, rules, g, n_live)
     v, k = rules.shape
     cin = features.shape[1]
     gathered = features[rules.reshape(-1)].reshape(v, k, cin)
@@ -525,9 +611,9 @@ def _dw_any(features, rules, g, kw3=False):
                       preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def gather_matmul_subm(features, rules, rules_mirror, weights, packed=False,
-                       kw3=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def gather_matmul_subm(features, rules, rules_mirror, weights, n_live=None,
+                       packed=False, kw3=False):
     """gather_matmul for SUBMANIFOLD convs (output sites == input sites,
     odd kernel): `rules_mirror` = rules[:, ::-1] is the exact transpose
     rulebook (offset a_{K-1-k} = -a_k), so the feature gradient is ANOTHER
@@ -536,21 +622,24 @@ def gather_matmul_subm(features, rules, rules_mirror, weights, packed=False,
         df[u] = sum_k g[rules[u, K-1-k]] @ W[K-1-k]^T
         dW[k] = feats[rules[:, k]]^T @ g        (gather_dw Pallas kernel)
 
-    `packed` (static) streams features/weights as bf16 (the pair-packed
-    kernel on TPU); dW keeps the f32 table.  `kw3` (static) enables the
-    x-window kernel for both directions (the mirrored book keeps the
-    group structure — tests/test_xwin_property.py).
+    `n_live` (traced scalar) gates dead output tiles in forward AND both
+    backward gathers (subm out sites == in sites, so one count covers all
+    three).  `packed` (static) streams features/weights as bf16 (the
+    pair-packed kernel on TPU); dW keeps the f32 table.  `kw3` (static)
+    enables the x-window kernel for both directions (the mirrored book
+    keeps the group structure — tests/test_xwin_property.py).
     """
-    return _gm_any(features, rules, weights, packed, kw3)
+    return _gm_any(features, rules, weights, packed, kw3, n_live)
 
 
-def _gm_subm_fwd(features, rules, rules_mirror, weights, packed, kw3):
-    return _gm_any(features, rules, weights, packed, kw3), (
-        features, rules, rules_mirror, weights)
+def _gm_subm_fwd(features, rules, rules_mirror, weights, n_live, packed,
+                 kw3):
+    return _gm_any(features, rules, weights, packed, kw3, n_live), (
+        features, rules, rules_mirror, weights, n_live)
 
 
 def _gm_subm_bwd(packed, kw3, res, g):
-    features, rules, rules_mirror, weights = res
+    features, rules, rules_mirror, weights, n_live = res
     cin = features.shape[1]
     g_c = g.astype(features.dtype)
     g_padded = jnp.concatenate(
@@ -559,11 +648,11 @@ def _gm_subm_bwd(packed, kw3, res, g):
     # the MIRRORED rulebook while the weights keep their original tap order
     # (mirroring both would cancel out)
     w_t = jnp.transpose(weights, (0, 2, 1)).astype(features.dtype)
-    df = _gm_any(g_padded, rules_mirror, w_t, packed,
-                 kw3).astype(features.dtype)
+    df = _gm_any(g_padded, rules_mirror, w_t, packed, kw3,
+                 n_live).astype(features.dtype)
     df = jnp.concatenate([df, jnp.zeros((1, cin), features.dtype)], axis=0)
-    dw = _dw_any(features, rules, g_c, kw3).astype(weights.dtype)
-    return df, None, None, dw
+    dw = _dw_any(features, rules, g_c, kw3, n_live).astype(weights.dtype)
+    return df, None, None, dw, None
 
 
 gather_matmul_subm.defvjp(_gm_subm_fwd, _gm_subm_bwd)

@@ -59,6 +59,17 @@ step bench-b8-auto env PCDET_SPARSE_LOOKUP=auto \
 # keep paying past B8)
 step bench-b16 python scripts/bench_models.py --models second --batch_size 16
 
+# 4d. occupancy-gated tile skipping A/B (gate is default-on; this measures
+# what it buys at bench occupancy — real-KITTI scenes sit further below
+# the caps, so the deploy win is larger than this number)
+step bench-b8-nogate env PCDET_DISABLE_TILE_GATE=1 \
+    python scripts/bench_models.py --models second --batch_size 8
+
+# 4e. gather tile-size sweep: TV=64 underfills the MXU's 128 rows; bigger
+# tiles halve per-dot overhead if load issue isn't the binding limit
+step tv128 env PCDET_GATHER_TV=128 python scripts/exp_xwin_loads.py
+step tv256 env PCDET_GATHER_TV=256 python scripts/exp_xwin_loads.py
+
 # 5. PointPillar batch scaling with the batched NMS
 step pp-b16 env BENCH_BATCH=16 python bench.py
 step pp-b8 env BENCH_BATCH=8 python bench.py
