@@ -288,7 +288,10 @@ class UNetV2(nn.Module):
         return SpConvBNReLU(out_ch, name=name + '_inv')(fused, train)
 
     @nn.compact
-    def __call__(self, level, train: bool):
+    def __call__(self, level, train: bool, stop_after: str = ''):
+        """`stop_after` (static, profiling only — scripts/
+        profile_eval_stages.py): return that mark's features early so
+        per-level prefix timings carve the UNet up.  '' = full forward."""
         from functools import partial
         SpConvBNReLU = partial(globals()['SpConvBNReLU'],
                                compute_dtype=_effective_dtype(self, train))
@@ -298,22 +301,30 @@ class UNetV2(nn.Module):
         caps = _resolve_caps(cap, absolute, self.level_caps_frac, train)
         x = SpConvBNReLU(16, name='conv_input')(level, train)
         x1 = SpConvBNReLU(16, name='conv1_0')(x, train)
+        if stop_after == 'conv1':
+            return x1.features
         x2 = SpConvBNReLU(32, stride=(2, 2, 2), conv_type='spconv',
                           out_cap=caps[0], name='conv2_0')(x1, train)
         overflow = {'conv2': x2.overflow}     # capture before subm _replace
         x2 = SpConvBNReLU(32, name='conv2_1')(x2, train)
         x2 = SpConvBNReLU(32, name='conv2_2')(x2, train)
+        if stop_after == 'conv2':
+            return x2.features
         x3 = SpConvBNReLU(64, stride=(2, 2, 2), conv_type='spconv',
                           out_cap=caps[1], name='conv3_0')(x2, train)
         overflow['conv3'] = x3.overflow
         x3 = SpConvBNReLU(64, name='conv3_1')(x3, train)
         x3 = SpConvBNReLU(64, name='conv3_2')(x3, train)
+        if stop_after == 'conv3':
+            return x3.features
         x4 = SpConvBNReLU(64, stride=(2, 2, 2), padding=(0, 1, 1),
                           conv_type='spconv', out_cap=caps[2],
                           name='conv4_0')(x3, train)
         overflow['conv4'] = x4.overflow
         x4 = SpConvBNReLU(64, name='conv4_1')(x4, train)
         x4 = SpConvBNReLU(64, name='conv4_2')(x4, train)
+        if stop_after == 'conv4':
+            return x4.features
 
         out = SpConvBNReLU(128, kernel=(3, 1, 1), stride=(2, 1, 1),
                            padding=self.last_pad, conv_type='spconv',
@@ -322,17 +333,25 @@ class UNetV2(nn.Module):
         dense = sparse.to_dense_batched(out)
         b, d, h, w, c = dense.shape
         bev = jnp.transpose(dense, (0, 2, 3, 4, 1)).reshape(b, h, w, c * d)
+        if stop_after == 'conv_out':
+            return bev
 
         # decoder: x_up4 stays at level 4 (lateral == bottom), then upsample
         x_up4 = self.ur_block(x4, x4, 64,
                               ('inverseconv', 64, (3, 3, 3), (2, 2, 2),
                                (0, 1, 1), x3), 'up4', train)
+        if stop_after == 'up4':
+            return x_up4.features
         x_up3 = self.ur_block(x3, x_up4, 64,
                               ('inverseconv', 32, (3, 3, 3), (2, 2, 2),
                                (1, 1, 1), x2), 'up3', train)
+        if stop_after == 'up3':
+            return x_up3.features
         x_up2 = self.ur_block(x2, x_up3, 32,
                               ('inverseconv', 16, (3, 3, 3), (2, 2, 2),
                                (1, 1, 1), x1), 'up2', train)
+        if stop_after == 'up2':
+            return x_up2.features
         x_up1 = self.ur_block(x1, x_up2, 16,
                               ('subm', 16, (3, 3, 3), (1, 1, 1), (1, 1, 1),
                                None), 'up1', train)

@@ -78,7 +78,7 @@ step pp-b2 python bench.py
 
 # 6. per-stage eval profile refresh (+ PointPillar carve-up)
 step stages python scripts/profile_eval_stages.py \
-    --models second,second_backbone,parta2,pointpillar
+    --models second,second_backbone,parta2,parta2_unet,pointpillar
 
 # 7. roofline / MFU report
 step roofline python scripts/roofline.py

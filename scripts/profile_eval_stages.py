@@ -331,6 +331,60 @@ def profile_parta2(batch_size):
     return rows
 
 
+def profile_parta2_unet(batch_size):
+    """Per-level carve-up of the Part-A² UNet (stage1 is ~3/4 of eval fwd):
+    cumulative prefixes through UNetV2's `stop_after` marks, differences =
+    per-mark cost.  Encoder marks mirror second_backbone; decoder marks
+    time each UR block (lateral residual + fuse + inverse conv)."""
+    import jax
+    from pcdet_tpu.models.backbones3d import UNetV2
+    from pcdet_tpu.models.vfe import MeanVFE
+    from pcdet_tpu.ops import sparse
+
+    cfg = realistic_cfg('PartA2.yaml')
+    model, batch = build(cfg, training=False, batch_size=batch_size)
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+    params, stats = variables['params'], variables.get('batch_stats', {})
+    mod = model.module
+
+    def vfe_stage(batch):
+        feats = MeanVFE().apply({}, batch['voxels'], batch['num_points'],
+                                batch['coordinates'], batch['voxel_mask'],
+                                False)
+        level = sparse.from_voxelizer(feats, batch['coordinates'],
+                                      batch['voxel_mask'], mod.sparse_shape)
+        return level.features, level.ids, level.coords, level.mask
+    lv_arrays = jax.jit(vfe_stage)(batch)
+
+    unet = UNetV2(sparse_shape=mod.sparse_shape, last_pad=mod.last_pad,
+                  level_caps=mod.level_caps,
+                  level_caps_test=mod.level_caps_test,
+                  level_caps_frac=mod.level_caps_frac,
+                  compute_dtype=mod.compute_dtype,
+                  compute_dtype_test=mod.compute_dtype_test)
+    uv = {'params': params['stage1']['unet'],
+          'batch_stats': stats.get('stage1', {}).get('unet', {})}
+
+    def run_prefix(mark):
+        def fn(f, ids, c, m):
+            level = sparse.SparseLevel(f, ids, c, m, mod.sparse_shape)
+            return unet.apply(uv, level, False, stop_after=mark)
+        return fn
+
+    marks = ['conv1', 'conv2', 'conv3', 'conv4', 'conv_out',
+             'up4', 'up3', 'up2', '']
+    labels = ['conv_input+conv1', 'conv2 block', 'conv3 block', 'conv4 block',
+              'conv_out + BEV', 'up4 (UR block)', 'up3 (UR block)',
+              'up2 (UR block)', 'up1 + seg heads']
+    rows, prev = [], 0.0
+    for mark, label in zip(marks, labels):
+        t, _ = _time(_scalarize(run_prefix(mark)), *lv_arrays)
+        rows.append((label, t - prev))
+        prev = t
+    rows.append(('TOTAL (prefix sum)', prev))
+    return rows
+
+
 def profile_pointpillar(batch_size):
     """PP eval carve-up: VFE (PFN) | pillar scatter | RPN FPN+heads |
     decode + batched NMS — the headline model had no per-stage numbers."""
@@ -427,6 +481,7 @@ def main():
         rows = {'second': profile_second,
                 'second_backbone': profile_second_backbone,
                 'parta2': profile_parta2,
+                'parta2_unet': profile_parta2_unet,
                 'pointpillar': profile_pointpillar}[m](args.batch)
         report[m] = rows
         print(f'== {m} eval B{args.batch} (setup {time.time() - t0:.0f}s)')
