@@ -40,6 +40,31 @@ def _tile_live(n_live, n_tiles):
     return (idx < jnp.asarray(n_live, jnp.int32)).astype(jnp.int32)
 
 
+class _AlwaysLive:
+    """Stands in for live_ref when no live count is given: `[0, 0]` yields a
+    constant 1, so pl.when(1 != 0) folds to the unconditional body."""
+
+    def __getitem__(self, idx):
+        return jnp.int32(1)
+
+
+def _ungated(kernel_fn):
+    """Adapt a gated kernel (leading live_ref) to an ungated signature —
+    the pallas call then carries NO live input (true fallback for
+    PCDET_DISABLE_TILE_GATE, structurally identical to the pre-gating
+    kernels)."""
+    return functools.partial(kernel_fn, _AlwaysLive())
+
+
+def _gate_args(n_live, n_tiles, index_map):
+    """(kern_adapter, extra inputs, extra in_specs) for a wrapper: gating
+    inserts the (n_tiles, 1) SMEM flag column as the first input."""
+    if n_live is None:
+        return _ungated, [], []
+    spec = pl.BlockSpec((1, 1), index_map, memory_space=pltpu.SMEM)
+    return (lambda k: k), [_tile_live(n_live, n_tiles)], [spec]
+
+
 def _kernel(live_ref, rules_ref, feats_ref, w_ref, out_ref, g_scratch):
     # live_ref: (1, 1) int32 SMEM tile-occupancy flag (see _tile_live);
     # rules_ref: (TV, K) int32 in SMEM; feats_ref: (V+1, Cin) VMEM;
@@ -228,13 +253,13 @@ def _gather_matmul_xwin_call(feats, base, sel, weights_grouped, n_live=None):
         base = jnp.pad(base, ((0, pad), (0, 0)))
         sel = jnp.pad(sel, ((0, pad), (0, 0)), constant_values=0x3f)
     n_tiles = base.shape[0] // TV
-    live = _tile_live(vp if n_live is None else n_live, n_tiles)
+    adapt, gate_in, gate_specs = _gate_args(n_live, n_tiles,
+                                            lambda i: (i, 0))
     out = pl.pallas_call(
-        _kernel_xwin_packed if packed else _kernel_xwin,
+        adapt(_kernel_xwin_packed if packed else _kernel_xwin),
         out_shape=jax.ShapeDtypeStruct((base.shape[0], cout), jnp.float32),
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        in_specs=gate_specs + [
             pl.BlockSpec((TV, g), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((TV, g), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -246,7 +271,7 @@ def _gather_matmul_xwin_call(feats, base, sel, weights_grouped, n_live=None):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=INTERPRET,
-    )(live, base, sel, feats, weights_grouped)
+    )(*gate_in, base, sel, feats, weights_grouped)
     return out[:vp]
 
 
@@ -288,13 +313,13 @@ def _gather_matmul_packed_call(feats_packed, rules, weights_split,
         rules = jnp.pad(rules, ((0, pad), (0, 0)),
                         constant_values=feats_packed.shape[0] - 1)
     n_tiles = rules.shape[0] // TV
-    live = _tile_live(vp if n_live is None else n_live, n_tiles)
+    adapt, gate_in, gate_specs = _gate_args(n_live, n_tiles,
+                                            lambda i: (i, 0))
     out = pl.pallas_call(
-        _kernel_packed,
+        adapt(_kernel_packed),
         out_shape=jax.ShapeDtypeStruct((rules.shape[0], cout), jnp.float32),
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        in_specs=gate_specs + [
             pl.BlockSpec((TV, k), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -305,7 +330,7 @@ def _gather_matmul_packed_call(feats_packed, rules, weights_split,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=INTERPRET,
-    )(live, rules, feats_packed, weights_split)
+    )(*gate_in, rules, feats_packed, weights_split)
     return out[:vp]
 
 
@@ -331,14 +356,14 @@ def _gather_matmul_fwd_only(features, rules, weights, n_live=None):
                         constant_values=features.shape[0] - 1)
     vp = rules.shape[0]
     n_tiles = vp // TV
-    live = _tile_live(v if n_live is None else n_live, n_tiles)
+    adapt, gate_in, gate_specs = _gate_args(n_live, n_tiles,
+                                            lambda i: (i, 0))
 
     out = pl.pallas_call(
-        _kernel,
+        adapt(_kernel),
         out_shape=jax.ShapeDtypeStruct((vp, cout), jnp.float32),
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        in_specs=gate_specs + [
             pl.BlockSpec((TV, k), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),      # full feature table
@@ -350,7 +375,7 @@ def _gather_matmul_fwd_only(features, rules, weights, n_live=None):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=INTERPRET,
-    )(live, rules, features, weights)
+    )(*gate_in, rules, features, weights)
     return out[:v]
 
 
@@ -478,14 +503,14 @@ def gather_dw_xwin(features, base, sel, g, n_live=None):
         sel = jnp.pad(sel, ((0, pad), (0, 0)), constant_values=0x3f)
         g = jnp.pad(g, ((0, pad), (0, 0)))
     n_tiles = base.shape[0] // TV
-    live = _tile_live(vp if n_live is None else n_live, n_tiles)
+    adapt, gate_in, gate_specs = _gate_args(n_live, n_tiles,
+                                            lambda i: (i, 0))
     out = pl.pallas_call(
-        _dw_kernel_xwin,
+        adapt(_dw_kernel_xwin),
         out_shape=jax.ShapeDtypeStruct((3 * n_groups, cin, cout),
                                        jnp.float32),
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        in_specs=gate_specs + [
             pl.BlockSpec((TV, n_groups), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((TV, n_groups), lambda i: (i, 0),
@@ -500,7 +525,7 @@ def gather_dw_xwin(features, base, sel, g, n_live=None):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=INTERPRET,
-    )(live, base, sel, g, features)
+    )(*gate_in, base, sel, g, features)
     return out
 
 
@@ -521,15 +546,14 @@ def gather_dw(features, rules, g, n_live=None):
         g = jnp.pad(g, ((0, pad), (0, 0)))
     vp = rules.shape[0]
     n_tiles = vp // TV
-    live = _tile_live(v if n_live is None else n_live, n_tiles)
+    adapt, gate_in, gate_specs = _gate_args(n_live, n_tiles,
+                                            lambda kk, i: (i, 0))
 
     out = pl.pallas_call(
-        _dw_kernel,
+        adapt(_dw_kernel),
         out_shape=jax.ShapeDtypeStruct((k, cin, cout), jnp.float32),
         grid=(k, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda kk, i: (i, 0),
-                         memory_space=pltpu.SMEM),
+        in_specs=gate_specs + [
             pl.BlockSpec((TV, k), lambda kk, i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((TV, cout), lambda kk, i: (i, 0),
@@ -543,7 +567,7 @@ def gather_dw(features, rules, g, n_live=None):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=INTERPRET,
-    )(live, rules, g, features)
+    )(*gate_in, rules, g, features)
     return out
 
 

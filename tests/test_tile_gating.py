@@ -139,3 +139,47 @@ def test_subm_custom_vjp_gated(book, monkeypatch):
     np.testing.assert_array_equal(np.asarray(out_g), np.asarray(out_full))
     np.testing.assert_array_equal(np.asarray(df_g), np.asarray(df_full))
     np.testing.assert_array_equal(np.asarray(dw_g), np.asarray(dw_full))
+
+
+def test_tv_knob_subprocess():
+    """PCDET_GATHER_TV=128 (the queued tile-size sweep) must keep kernel
+    math exact — run in a subprocess because TV is baked into traces at
+    import.  Covers the pad path (V not a multiple of TV) and gating at
+    the new tile size."""
+    import os
+    import subprocess
+    import sys
+    code = r'''
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import sys
+sys.path.insert(0, %r)
+import jax
+# sitecustomize force-registers the axon TPU tunnel; override back to CPU
+# (same as tests/conftest.py) so this never rides (or hangs on) the tunnel
+jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp
+from pcdet_tpu.ops.pallas import gather_gemm as gg
+assert gg.TV == 128, gg.TV
+gg.INTERPRET = True
+rng = np.random.RandomState(0)
+V, K, CIN, COUT, N_ACT = 300, 9, 8, 16, 170
+feats = jnp.asarray(rng.randn(V + 1, CIN).astype(np.float32)).at[-1].set(0)
+rules = jnp.asarray(rng.randint(0, V + 1, size=(V, K)).astype(np.int32))
+rules = jnp.where(jnp.arange(V)[:, None] < N_ACT, rules, V)
+w = jnp.asarray(rng.randn(K, CIN, COUT).astype(np.float32))
+ref = np.asarray(feats)[np.asarray(rules).ravel()].reshape(V, K * CIN) @ \
+    np.asarray(w).reshape(K * CIN, COUT)
+out = np.asarray(gg._gather_matmul_fwd_only(feats, rules, w))
+np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+gated = np.asarray(gg._gather_matmul_fwd_only(feats, rules, w,
+                                              jnp.int32(N_ACT)))
+np.testing.assert_array_equal(gated, out)
+print("TV128 OK")
+'''
+    env = dict(os.environ, PCDET_GATHER_TV='128', JAX_PLATFORMS='cpu')
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run([sys.executable, '-c', code % root], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert 'TV128 OK' in res.stdout
