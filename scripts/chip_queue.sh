@@ -66,9 +66,20 @@ step bench-b8-nogate env PCDET_DISABLE_TILE_GATE=1 \
     python scripts/bench_models.py --models second --batch_size 8
 
 # 4e. gather tile-size sweep: TV=64 underfills the MXU's 128 rows; bigger
-# tiles halve per-dot overhead if load issue isn't the binding limit
+# tiles halve per-dot overhead if load issue isn't the binding limit.
+# (step 1 already times TV=64 incl. the superwindow + gated variants)
 step tv128 env PCDET_GATHER_TV=128 python scripts/exp_xwin_loads.py
 step tv256 env PCDET_GATHER_TV=256 python scripts/exp_xwin_loads.py
+
+# 4f. superwindow chunk-size sweep (R=8 ran in step 1; R=6 needs TV % R == 0)
+step super-r6 env PCDET_GATHER_TV=96 PCDET_XWIN_SUPER_R=6 \
+    python scripts/exp_xwin_loads.py
+step super-r4 env PCDET_XWIN_SUPER_R=4 python scripts/exp_xwin_loads.py
+
+# 4g. e2e SECOND bench with the superwindow kernels on (best-R pick is
+# manual after 4f; R=8 is the TV=64-compatible default)
+step bench-b8-super env PCDET_XWIN_SUPER=1 \
+    python scripts/bench_models.py --models second --batch_size 8
 
 # 5. PointPillar batch scaling with the batched NMS
 step pp-b16 env BENCH_BATCH=16 python bench.py

@@ -76,12 +76,32 @@ def main():
     fp = jnp.concatenate([lv.features,
                           jnp.zeros((1, C), jnp.float32)], axis=0)
 
+    # superwindow inputs (PCDET_XWIN_SUPER path): table with SUPER_W zero
+    # rows, flat tap-major weights
+    base, sel = sparse._xwin_selectors(rules, n_in)
+    fp_s = jnp.concatenate(
+        [fp, jnp.zeros((gg.SUPER_W - 1, C), jnp.float32)], axis=0)
+    n_act = int(np.asarray(lv.mask).sum())
+    pad = (-V) % gg.TV
+    cb, okc, _ = gg.superwindow_desc(
+        jnp.pad(base, ((0, pad), (0, 0))),
+        jnp.pad(sel, ((0, pad), (0, 0)), constant_values=0x3f), gg.SUPER_R)
+    print('super: TV=%d R=%d chunks coverable %.1f%% (act %d/%d)'
+          % (gg.TV, gg.SUPER_R, 100 * float(np.asarray(okc).mean()),
+             n_act, V))
+
     variants = {
         'f32 rows': jax.jit(lambda: gg._gather_matmul_fwd_only(
             fp, rules, w)),
         'f32 xwin': jax.jit(lambda: gg._gm_any(fp, rules, w, False, True)),
         'packed rows': jax.jit(lambda: gg._gm_any(fp, rules, w, True, False)),
         'packed xwin': jax.jit(lambda: gg._gm_any(fp, rules, w, True, True)),
+        'f32 super': jax.jit(lambda: gg._gather_matmul_xwin_super_call(
+            fp_s, base, sel, gg.group_weights_x(w))),
+        'packed super': jax.jit(lambda: gg._gather_matmul_xwin_super_call(
+            gg.pack_bf16_pairs(fp_s), base, sel,
+            gg.group_weights_x_packed(
+                w.astype(jnp.bfloat16).astype(jnp.float32)))),
     }
     outs = {}
     for name, fn in variants.items():
@@ -93,18 +113,41 @@ def main():
           np.abs(outs['packed xwin'] - outs['packed rows']).max() / scale)
     print('pack rows vs f32 rows    err:',
           np.abs(outs['packed rows'] - outs['f32 rows']).max() / scale)
+    print('f32  super vs rows       err:',
+          np.abs(outs['f32 super'] - outs['f32 rows']).max() / scale)
+    print('pack super vs pack rows  err:',
+          np.abs(outs['packed super'] - outs['packed rows']).max() / scale)
 
-    # timing: B=8 vmapped like the backbone (one kernel grid per sample)
+    # timing: B=8 vmapped like the backbone (one kernel grid per sample);
+    # gated rows measure the occupancy tile-skip at this book's density
+    nl = jnp.int32(n_act)
     rules_b = jnp.broadcast_to(rules[None], (B,) + rules.shape)
     fp_b = jnp.broadcast_to(fp[None], (B,) + fp.shape)
-    for name, one in [
-            ('f32 rows', lambda f, r: gg._gather_matmul_fwd_only(f, r, w)),
-            ('f32 xwin', lambda f, r: gg._gm_any(f, r, w, False, True)),
-            ('packed rows', lambda f, r: gg._gm_any(f, r, w, True, False)),
-            ('packed xwin', lambda f, r: gg._gm_any(f, r, w, True, True))]:
+    fps_b = jnp.broadcast_to(fp_s[None], (B,) + fp_s.shape)
+    wfl = gg.group_weights_x(w)
+    wflp = gg.group_weights_x_packed(w.astype(jnp.bfloat16).astype(
+        jnp.float32))
+    for name, one, tbl in [
+            ('f32 rows', lambda f, r: gg._gather_matmul_fwd_only(f, r, w),
+             'fp'),
+            ('f32 xwin', lambda f, r: gg._gm_any(f, r, w, False, True),
+             'fp'),
+            ('f32 xwin gated', lambda f, r: gg._gm_any(
+                f, r, w, False, True, nl), 'fp'),
+            ('packed rows', lambda f, r: gg._gm_any(f, r, w, True, False),
+             'fp'),
+            ('packed xwin', lambda f, r: gg._gm_any(f, r, w, True, True),
+             'fp'),
+            ('packed xwin gated', lambda f, r: gg._gm_any(
+                f, r, w, True, True, nl), 'fp'),
+            ('f32 super', lambda f, r: gg._gather_matmul_xwin_super_call(
+                f, *sparse._xwin_selectors(r, n_in), wfl, nl), 'fps'),
+            ('packed super', lambda f, r: gg._gather_matmul_xwin_super_call(
+                gg.pack_bf16_pairs(f), *sparse._xwin_selectors(r, n_in),
+                wflp, nl), 'fps')]:
         fn = jax.jit(lambda f, r, one=one: jax.vmap(one)(f, r).sum())
-        t = timed(fn, fp_b, rules_b)
-        print('B%d %-12s %8.2f ms/batch' % (B, name, t))
+        t = timed(fn, fps_b if tbl == 'fps' else fp_b, rules_b)
+        print('B%d %-18s %8.2f ms/batch' % (B, name, t))
 
 
 if __name__ == '__main__':

@@ -1,0 +1,116 @@
+"""Superwindow gather kernel (one (8, Cin) load per chunk of consecutive
+output rows, PCDET_XWIN_SUPER): interpret-mode bit/tolerance parity with
+the per-row x-window path on a REAL subm rulebook whose chunk population
+exercises BOTH the covered and the fallback branch.  On-chip speed is
+measured by the queued exp_xwin_loads sweep."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+# interpret-mode execution of the big static unroll is minutes on this
+# 1-core host; the kernel is opt-in (PCDET_XWIN_SUPER) until chip-measured
+pytestmark = pytest.mark.slow
+
+from pcdet_tpu.ops import sparse
+from pcdet_tpu.ops.pallas import gather_gemm as gg
+from tests.test_xwin_property import _make_level
+
+# small V: interpret mode executes the kernel's static unroll (groups x
+# chunks x branches) in Python per grid step — V=128 is 2 tiles, enough to
+# cover tile boundaries, both branches, gating, and vmap
+V, C = 128, 8
+N_ACT = 100
+SHAPE = (7, 16, 24)
+
+
+@pytest.fixture()
+def book():
+    rng = np.random.RandomState(7)
+    lv = _make_level(rng, V, SHAPE, N_ACT, c=C)
+    rows, found = jax.jit(lambda: sparse._rules_subm(lv, (3, 3, 3)))()
+    w = jnp.asarray(rng.randn(27, C, C).astype(np.float32) * 0.1)
+    rules = jnp.where(found, rows, V)
+    fp = jnp.concatenate([lv.features, jnp.zeros((1, C))], axis=0)
+    ref = np.asarray(
+        fp[rules.reshape(-1)].reshape(V, 27 * C) @ w.reshape(27 * C, C))
+    return fp, rules, w, ref
+
+
+def _super_inputs(fp, rules):
+    base, sel = sparse._xwin_selectors(rules, V)
+    zrows = jnp.zeros((gg.SUPER_W - 1, fp.shape[1]), fp.dtype)
+    return jnp.concatenate([fp, zrows], axis=0), base, sel
+
+
+def test_desc_exercises_both_branches(book):
+    fp, rules, w, ref = book
+    _, base, sel = _super_inputs(fp, rules)
+    pad = (-V) % gg.TV
+    base_p = jnp.pad(base, ((0, pad), (0, 0)))
+    sel_p = jnp.pad(sel, ((0, pad), (0, 0)), constant_values=0x3f)
+    cb, ok, sel8 = gg.superwindow_desc(base_p, sel_p, gg.SUPER_R)
+    ok = np.asarray(ok)
+    assert ok.any() and (ok == 0).any(), (
+        'fixture must populate covered AND fallback chunks: %s' % ok.mean())
+
+
+def test_super_f32(book, monkeypatch):
+    fp, rules, w, ref = book
+    monkeypatch.setattr(gg, 'INTERPRET', True)
+    fp2, base, sel = _super_inputs(fp, rules)
+    out = np.asarray(gg._gather_matmul_xwin_super_call(
+        fp2, base, sel, gg.group_weights_x(w)))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_super_f32_gated(book, monkeypatch):
+    fp, rules, w, ref = book
+    monkeypatch.setattr(gg, 'INTERPRET', True)
+    fp2, base, sel = _super_inputs(fp, rules)
+    wf = gg.group_weights_x(w)
+    full = np.asarray(gg._gather_matmul_xwin_super_call(fp2, base, sel, wf))
+    gated = np.asarray(gg._gather_matmul_xwin_super_call(
+        fp2, base, sel, wf, jnp.int32(N_ACT)))
+    np.testing.assert_array_equal(gated, full)
+
+
+def test_super_packed(book, monkeypatch):
+    fp, rules, w, ref = book
+    monkeypatch.setattr(gg, 'INTERPRET', True)
+    fp2, base, sel = _super_inputs(fp, rules)
+    w_r = w.astype(jnp.bfloat16).astype(jnp.float32)
+    out = np.asarray(gg._gather_matmul_xwin_super_call(
+        gg.pack_bf16_pairs(fp2), base, sel, gg.group_weights_x_packed(w_r)))
+    scale = np.abs(ref).max() + 1e-6
+    assert np.abs(out - ref).max() / scale < 2e-2
+
+
+def test_super_packed_matches_rowpacked(book, monkeypatch):
+    """Same bf16 operand rounding as the per-row packed kernel; only the
+    f32 accumulation ORDER differs (one flat 27C-dim dot vs 9 per-group
+    adds), so equality is tolerance-level, not bitwise."""
+    fp, rules, w, ref = book
+    monkeypatch.setattr(gg, 'INTERPRET', True)
+    fp2, base, sel = _super_inputs(fp, rules)
+    w_r = w.astype(jnp.bfloat16).astype(jnp.float32)
+    out_s = np.asarray(gg._gather_matmul_xwin_super_call(
+        gg.pack_bf16_pairs(fp2), base, sel, gg.group_weights_x_packed(w_r)))
+    fp2b = jnp.concatenate([fp, jnp.zeros((1, C))], axis=0)
+    out_r = np.asarray(gg._gather_matmul_xwin_call(
+        gg.pack_bf16_pairs(fp2b), base, sel, gg.group_weights_x_packed(w_r)))
+    scale = np.abs(out_r).max() + 1e-6
+    assert np.abs(out_s - out_r).max() / scale < 1e-5
+
+
+def test_super_vmap(book, monkeypatch):
+    """Batched-backbone path: super call under vmap."""
+    fp, rules, w, ref = book
+    monkeypatch.setattr(gg, 'INTERPRET', True)
+    fp2, base, sel = _super_inputs(fp, rules)
+    wf = gg.group_weights_x(w)
+    fp_b = jnp.stack([fp2, fp2 * 2.0])
+    out = np.asarray(jax.vmap(
+        lambda f: gg._gather_matmul_xwin_super_call(f, base, sel, wf))(fp_b))
+    np.testing.assert_allclose(out[0], ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(out[1], 2 * ref, rtol=1e-5, atol=1e-5)
