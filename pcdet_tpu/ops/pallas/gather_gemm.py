@@ -326,6 +326,48 @@ def superwindow_desc(base, sel, r):
             sel8.reshape(vp, g).astype(jnp.int32))
 
 
+def _fill_spg_group(cb_ref, ok_ref, base_ref, sel_ref, sel8_ref, feats_ref,
+                    spg, g, n_chunks, r, cin):
+    """Fill the (TV, 3*Cin) per-group scratch with tap group g's selected
+    neighbour rows: covered chunks take ONE (SUPER_W, Cin) load + 4-bit
+    selects, fallback chunks per-row (3, Cin) loads + 2-bit selects; both
+    branches store the chunk's (r, 3*Cin) with one write."""
+    zero_r = jnp.zeros((r, cin), feats_ref.dtype)
+    zero_1 = jnp.zeros((1, cin), feats_ref.dtype)
+    for c in range(n_chunks):
+        lo_row = c * r
+
+        @pl.when(ok_ref[c, g] != 0)
+        def _(g=g, c=c, lo_row=lo_row):
+            win = feats_ref[pl.ds(cb_ref[c, g], SUPER_W), :]
+            off = sel8_ref[lo_row:lo_row + r, g:g + 1]        # (r, 1)
+            parts = []
+            for dx in range(3):
+                od = (off >> (4 * dx)) & 15
+                s = zero_r
+                for j in range(SUPER_W):
+                    s = s + jnp.where(od == j, win[j:j + 1, :], zero_r)
+                parts.append(s)
+            spg[lo_row:lo_row + r, :] = jnp.concatenate(parts, axis=1)
+
+        @pl.when(ok_ref[c, g] == 0)
+        def _(g=g, c=c, lo_row=lo_row):
+            rows = []
+            for i in range(r):
+                row = lo_row + i
+                w3 = feats_ref[pl.ds(base_ref[row, g], 3), :]
+                selv = sel_ref[row, g]
+                taps = []
+                for dx in range(3):
+                    o = (selv >> (2 * dx)) & 3
+                    taps.append(jnp.where(
+                        o == 0, w3[0:1, :],
+                        jnp.where(o == 1, w3[1:2, :],
+                                  jnp.where(o == 2, w3[2:3, :], zero_1))))
+                rows.append(jnp.concatenate(taps, axis=1))
+            spg[lo_row:lo_row + r, :] = jnp.concatenate(rows, axis=0)
+
+
 def _kernel_xwin_super(live_ref, cb_ref, ok_ref, base_ref, sel_ref,
                        sel8_ref, feats_ref, w_ref, out_ref, spg):
     """cb/ok: (TV//R, G) SMEM; base/sel: (TV, G) SMEM; sel8: (TV, G) VMEM;
@@ -345,50 +387,13 @@ def _kernel_xwin_super(live_ref, cb_ref, ok_ref, base_ref, sel_ref,
 
     @pl.when(live_ref[0, 0] != 0)
     def _():
-        zero_r = jnp.zeros((r, cin), feats_ref.dtype)
-        zero_1 = jnp.zeros((1, cin), feats_ref.dtype)
         prec = (jax.lax.Precision.DEFAULT
                 if feats_ref.dtype == jnp.bfloat16
                 else jax.lax.Precision.HIGHEST)
         acc = jnp.zeros((tv, cout), jnp.float32)
         for g in range(g_groups):               # static unroll
-            for c in range(n_chunks):
-                lo_row = c * r
-
-                @pl.when(ok_ref[c, g] != 0)
-                def _(g=g, c=c, lo_row=lo_row):
-                    win = feats_ref[pl.ds(cb_ref[c, g], SUPER_W), :]
-                    off = sel8_ref[lo_row:lo_row + r, g:g + 1]    # (r, 1)
-                    parts = []
-                    for dx in range(3):
-                        od = (off >> (4 * dx)) & 15
-                        s = zero_r
-                        for j in range(SUPER_W):
-                            s = s + jnp.where(od == j, win[j:j + 1, :],
-                                              zero_r)
-                        parts.append(s)
-                    spg[lo_row:lo_row + r, :] = jnp.concatenate(parts,
-                                                                axis=1)
-
-                @pl.when(ok_ref[c, g] == 0)
-                def _(g=g, c=c, lo_row=lo_row):
-                    rows = []
-                    for i in range(r):
-                        row = lo_row + i
-                        w3 = feats_ref[pl.ds(base_ref[row, g], 3), :]
-                        selv = sel_ref[row, g]
-                        taps = []
-                        for dx in range(3):
-                            o = (selv >> (2 * dx)) & 3
-                            taps.append(jnp.where(
-                                o == 0, w3[0:1, :],
-                                jnp.where(o == 1, w3[1:2, :],
-                                          jnp.where(o == 2, w3[2:3, :],
-                                                    zero_1))))
-                        rows.append(jnp.concatenate(taps, axis=1))
-                    spg[lo_row:lo_row + r, :] = jnp.concatenate(rows,
-                                                                axis=0)
-
+            _fill_spg_group(cb_ref, ok_ref, base_ref, sel_ref, sel8_ref,
+                            feats_ref, spg, g, n_chunks, r, cin)
             sp = spg[:]
             if packed:                          # bf16 pairs in int32 words
                 lo = jax.lax.bitcast_convert_type(sp << 16, jnp.float32)
@@ -453,6 +458,93 @@ def _gather_matmul_xwin_super_call(feats, base, sel, weights_grouped,
         interpret=INTERPRET,
     )(*gate_in, cb, ok, base, sel, sel8, feats, weights_grouped)
     return out[:vp]
+
+
+def _dw_kernel_xwin_super(live_ref, cb_ref, ok_ref, base_ref, sel_ref,
+                          sel8_ref, g_ref, feats_ref, out_ref, spg,
+                          acc_ref):
+    """Superwindow dW: same gather structure as _kernel_xwin_super, but the
+    per-group (TV, 3*Cin) scratch contracts against the upstream grads
+    ((3*Cin, Cout) per group), accumulated across tiles like
+    _dw_kernel_xwin.  g_ref: (TV, Cout); out_ref: (K, Cin, Cout)."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    n_chunks, g_groups = ok_ref.shape
+    tv = g_ref.shape[0]
+    r = tv // n_chunks
+    k_taps, cin, cout = out_ref.shape
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(live_ref[0, 0] != 0)
+    def _():
+        gv = g_ref[:]
+        prec = (jax.lax.Precision.DEFAULT
+                if feats_ref.dtype == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST)
+        for g in range(g_groups):               # static unroll
+            _fill_spg_group(cb_ref, ok_ref, base_ref, sel_ref, sel8_ref,
+                            feats_ref, spg, g, n_chunks, r, cin)
+            d = jax.lax.dot_general(spg[:], gv, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=prec)      # (3*Cin, Cout)
+            acc_ref[3 * cin * g:3 * cin * (g + 1), :] = (
+                acc_ref[3 * cin * g:3 * cin * (g + 1), :] + d)
+
+    @pl.when(i == n - 1)
+    def _():
+        out_ref[...] = acc_ref[...].reshape(k_taps, cin, cout)
+
+
+@jax.jit
+def gather_dw_xwin_super(features, base, sel, g, n_live=None):
+    """Superwindow dW (kw=3 books): features (V+SUPER_W, Cin) f32 (last
+    SUPER_W rows zero), base/sel (V, G) int32, g (V, Cout) ->
+    (3*G, Cin, Cout)."""
+    vp, n_groups = base.shape
+    cin = features.shape[1]
+    cout = g.shape[1]
+    assert TV % SUPER_R == 0, (TV, SUPER_R)
+    pad = (-vp) % TV
+    if pad:
+        base = jnp.pad(base, ((0, pad), (0, 0)))
+        sel = jnp.pad(sel, ((0, pad), (0, 0)), constant_values=0x3f)
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+    cb, ok, sel8 = superwindow_desc(base, sel, SUPER_R)
+    n_tiles = base.shape[0] // TV
+    cpt = TV // SUPER_R
+    adapt, gate_in, gate_specs = _gate_args(
+        vp if n_live is None else n_live, n_tiles, lambda i: (i, 0))
+    out = pl.pallas_call(
+        adapt(_dw_kernel_xwin_super),
+        out_shape=jax.ShapeDtypeStruct((3 * n_groups, cin, cout),
+                                       jnp.float32),
+        grid=(n_tiles,),
+        in_specs=gate_specs + [
+            pl.BlockSpec((cpt, n_groups), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((cpt, n_groups), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TV, n_groups), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TV, n_groups), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TV, n_groups), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TV, cout), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # full feature table
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TV, 3 * cin), features.dtype),
+                        pltpu.VMEM((3 * n_groups * cin, cout), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(*gate_in, cb, ok, base, sel, sel8, g, features)
+    return out
 
 
 def group_weights_x(w):
@@ -818,6 +910,12 @@ def _dw_any(features, rules, g, kw3=False, n_live=None):
         if kw3 and rules.shape[1] % 3 == 0:
             from ..sparse import _xwin_selectors
             base, sel = _xwin_selectors(rules, features.shape[0] - 1)
+            if SUPER:
+                zrows = jnp.zeros((SUPER_W - 1, features.shape[1]),
+                                  features.dtype)
+                return gather_dw_xwin_super(
+                    jnp.concatenate([features, zrows], axis=0), base, sel,
+                    g, n_live)
             zrow = jnp.zeros((1, features.shape[1]), features.dtype)
             return gather_dw_xwin(jnp.concatenate([features, zrow], axis=0),
                                   base, sel, g, n_live)

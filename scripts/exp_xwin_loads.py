@@ -149,6 +149,24 @@ def main():
         t = timed(fn, fps_b if tbl == 'fps' else fp_b, rules_b)
         print('B%d %-18s %8.2f ms/batch' % (B, name, t))
 
+    # dW (training backward): per-row xwin vs superwindow
+    gup = jnp.asarray(rng.randn(V, C).astype(np.float32) * 0.05)
+    gup_b = jnp.broadcast_to(gup[None], (B,) + gup.shape)
+    for name, one, tbl in [
+            ('f32 dw xwin', lambda f, r, gu: gg.gather_dw_xwin(
+                f, *sparse._xwin_selectors(r, n_in), gu, nl), 'fp2'),
+            ('f32 dw super', lambda f, r, gu: gg.gather_dw_xwin_super(
+                f, *sparse._xwin_selectors(r, n_in), gu, nl), 'fps')]:
+        if tbl == 'fp2':
+            tb = jnp.broadcast_to(
+                jnp.concatenate([fp, jnp.zeros((1, C))], axis=0)[None],
+                (B, V + 2, C))
+        else:
+            tb = fps_b
+        fn = jax.jit(lambda f, r, gu, one=one: jax.vmap(one)(f, r, gu).sum())
+        t = timed(fn, tb, rules_b, gup_b)
+        print('B%d %-18s %8.2f ms/batch' % (B, name, t))
+
 
 if __name__ == '__main__':
     main()

@@ -114,3 +114,20 @@ def test_super_vmap(book, monkeypatch):
         lambda f: gg._gather_matmul_xwin_super_call(f, base, sel, wf))(fp_b))
     np.testing.assert_allclose(out[0], ref, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(out[1], 2 * ref, rtol=1e-5, atol=1e-5)
+
+
+def test_super_dw(book, monkeypatch):
+    """Superwindow dW == per-row xwin dW == einsum reference."""
+    fp, rules, w, ref = book
+    monkeypatch.setattr(gg, 'INTERPRET', True)
+    rng = np.random.RandomState(9)
+    g = jnp.asarray(rng.randn(V, C).astype(np.float32))
+    fp2, base, sel = _super_inputs(fp, rules)
+    out = np.asarray(gg.gather_dw_xwin_super(fp2, base, sel, g))
+    dw_ref = np.einsum('vki,vo->kio',
+                       np.asarray(fp[rules.reshape(-1)]).reshape(V, 27, C),
+                       np.asarray(g))
+    np.testing.assert_allclose(out, dw_ref, rtol=1e-4, atol=1e-4)
+    gated = np.asarray(gg.gather_dw_xwin_super(fp2, base, sel, g,
+                                               jnp.int32(N_ACT)))
+    np.testing.assert_array_equal(gated, out)
