@@ -54,6 +54,12 @@ step bench-b8-bitmap env PCDET_SPARSE_LOOKUP=bitmap \
     python scripts/bench_models.py --models second --batch_size 8
 step bench-b8-auto env PCDET_SPARSE_LOOKUP=auto \
     python scripts/bench_models.py --models second,parta2 --batch_size 8
+# bitmap at EVERY level (the full-res conv1 grid is 92M cells — presence
+# bitmap 11.6 MB/sample, cumsum ~2-3 ms at B8; whether it beats the conv1
+# book's merged sort is an open question this answers)
+step bench-b8-bitmap-all env PCDET_SPARSE_LOOKUP=auto \
+    PCDET_BITMAP_MAX_CELLS=200000000 \
+    python scripts/bench_models.py --models second --batch_size 8
 
 # 4c. upper end of the batch-scaling curve (batched NMS + lazy decode may
 # keep paying past B8)
