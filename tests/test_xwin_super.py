@@ -131,3 +131,39 @@ def test_super_dw(book, monkeypatch):
     gated = np.asarray(gg.gather_dw_xwin_super(fp2, base, sel, g,
                                                jnp.int32(N_ACT)))
     np.testing.assert_array_equal(gated, out)
+
+
+@pytest.mark.parametrize('which', ['strided_fwd', 'transpose_bwd'])
+def test_super_on_strided_geometries(which, monkeypatch):
+    """The super call must stay exact on the OTHER kw=3 book geometries it
+    serves through _gm_any: the strided forward book (from the fused
+    out-set construction) and its transpose-backward book (one packed
+    scatter) — different miss patterns than subm books."""
+    monkeypatch.setattr(gg, 'INTERPRET', True)
+    rng = np.random.RandomState(3)
+    lv = _make_level(rng, V, SHAPE, N_ACT, c=C)
+    out = sparse._strided_out_set(lv, (3, 3, 3), (2, 2, 2), (1, 1, 1), 96)
+    _, _, out_mask, _, _, rows, found = out
+    if which == 'strided_fwd':
+        n_tab = V                                 # gathers from the fine level
+        rules = jnp.where(found, rows, n_tab)
+        table = jnp.concatenate([lv.features, jnp.zeros((1, C))], axis=0)
+        n_rows = 96
+    else:
+        fwd_rules = jnp.where(found, rows, V)
+        rules = sparse._transpose_rules_from_fwd(fwd_rules, V, 96)
+        n_tab = 96                                # gathers from the coarse level
+        coarse_feats = rng.randn(96, C).astype(np.float32)
+        table = jnp.concatenate(
+            [jnp.asarray(coarse_feats), jnp.zeros((1, C))], axis=0)
+        n_rows = V
+    w = jnp.asarray(rng.randn(27, C, C).astype(np.float32) * 0.1)
+    ref = np.asarray(table)[np.asarray(rules).ravel()].reshape(
+        n_rows, 27 * C) @ np.asarray(w).reshape(27 * C, C)
+
+    base, sel = sparse._xwin_selectors(rules, n_tab)
+    tbl = jnp.concatenate(
+        [table, jnp.zeros((gg.SUPER_W - 1, C), table.dtype)], axis=0)
+    got = np.asarray(gg._gather_matmul_xwin_super_call(
+        tbl, base, sel, gg.group_weights_x(w)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
