@@ -39,6 +39,10 @@ class SpConvBNReLU(nn.Module):
     out_cap: int = 0                 # required for 'spconv'
     use_norm: bool = True
     compute_dtype: str = ''
+    # spconv-style indice key: a strided conv stashes its forward book under
+    # this key; an inverseconv with the SAME key reuses it (sparse.py
+    # inverse_conv3d).  '' => reuse gated on geometry+cap equality only.
+    indice_key: str = ''
 
     @nn.compact
     def __call__(self, level, train: bool, target=None):
@@ -57,12 +61,13 @@ class SpConvBNReLU(nn.Module):
                 level, w, kernel=self.kernel, stride=self.stride,
                 padding=self.padding,
                 out_cap=self.out_cap or level.features.shape[1],
-                compute_dtype=cd)
+                compute_dtype=cd, indice_key=self.indice_key)
         elif self.conv_type == 'inverseconv':
             assert target is not None
             out = sparse.inverse_conv3d_batched(
                 level, target, w, kernel=self.kernel, stride=self.stride,
-                padding=self.padding, compute_dtype=cd)
+                padding=self.padding, compute_dtype=cd,
+                indice_key=self.indice_key)
         else:
             raise NotImplementedError(self.conv_type)
 
@@ -150,18 +155,20 @@ class BackBone8x(nn.Module):
         x = SpConvBNReLU(16, name='conv_input')(level, train)
         x1 = SpConvBNReLU(16, name='conv1_0')(x, train)
         x2 = SpConvBNReLU(32, stride=(2, 2, 2), conv_type='spconv',
-                          out_cap=caps[0], name='conv2_0')(x1, train)
+                          out_cap=caps[0], indice_key='spconv2',
+                          name='conv2_0')(x1, train)
         overflow = {'conv2': x2.overflow}     # capture before subm _replace
         x2 = SpConvBNReLU(32, name='conv2_1')(x2, train)
         x2 = SpConvBNReLU(32, name='conv2_2')(x2, train)
         x3 = SpConvBNReLU(64, stride=(2, 2, 2), conv_type='spconv',
-                          out_cap=caps[1], name='conv3_0')(x2, train)
+                          out_cap=caps[1], indice_key='spconv3',
+                          name='conv3_0')(x2, train)
         overflow['conv3'] = x3.overflow
         x3 = SpConvBNReLU(64, name='conv3_1')(x3, train)
         x3 = SpConvBNReLU(64, name='conv3_2')(x3, train)
         x4 = SpConvBNReLU(64, stride=(2, 2, 2), padding=(0, 1, 1),
                           conv_type='spconv', out_cap=caps[2],
-                          name='conv4_0')(x3, train)
+                          indice_key='spconv4', name='conv4_0')(x3, train)
         overflow['conv4'] = x4.overflow
         x4 = SpConvBNReLU(64, name='conv4_1')(x4, train)
         x4 = SpConvBNReLU(64, name='conv4_2')(x4, train)
@@ -279,10 +286,11 @@ class UNetV2(nn.Module):
         b, v, c1 = cat.features.shape
         red = cat.features.reshape(b, v, planes, -1).sum(axis=3)
         fused = x_m._replace(features=x_m.features + red)
-        conv_type, out_ch, kernel, stride, padding, target = inv_cfg
+        conv_type, out_ch, kernel, stride, padding, target, key = inv_cfg
         if conv_type == 'inverseconv':
             return SpConvBNReLU(out_ch, kernel=kernel, stride=stride,
                                 padding=padding, conv_type='inverseconv',
+                                indice_key=key,
                                 name=name + '_inv')(fused, train,
                                                     target=target)
         return SpConvBNReLU(out_ch, name=name + '_inv')(fused, train)
@@ -304,14 +312,16 @@ class UNetV2(nn.Module):
         if stop_after == 'conv1':
             return x1.features
         x2 = SpConvBNReLU(32, stride=(2, 2, 2), conv_type='spconv',
-                          out_cap=caps[0], name='conv2_0')(x1, train)
+                          out_cap=caps[0], indice_key='spconv2',
+                          name='conv2_0')(x1, train)
         overflow = {'conv2': x2.overflow}     # capture before subm _replace
         x2 = SpConvBNReLU(32, name='conv2_1')(x2, train)
         x2 = SpConvBNReLU(32, name='conv2_2')(x2, train)
         if stop_after == 'conv2':
             return x2.features
         x3 = SpConvBNReLU(64, stride=(2, 2, 2), conv_type='spconv',
-                          out_cap=caps[1], name='conv3_0')(x2, train)
+                          out_cap=caps[1], indice_key='spconv3',
+                          name='conv3_0')(x2, train)
         overflow['conv3'] = x3.overflow
         x3 = SpConvBNReLU(64, name='conv3_1')(x3, train)
         x3 = SpConvBNReLU(64, name='conv3_2')(x3, train)
@@ -319,7 +329,7 @@ class UNetV2(nn.Module):
             return x3.features
         x4 = SpConvBNReLU(64, stride=(2, 2, 2), padding=(0, 1, 1),
                           conv_type='spconv', out_cap=caps[2],
-                          name='conv4_0')(x3, train)
+                          indice_key='spconv4', name='conv4_0')(x3, train)
         overflow['conv4'] = x4.overflow
         x4 = SpConvBNReLU(64, name='conv4_1')(x4, train)
         x4 = SpConvBNReLU(64, name='conv4_2')(x4, train)
@@ -339,22 +349,22 @@ class UNetV2(nn.Module):
         # decoder: x_up4 stays at level 4 (lateral == bottom), then upsample
         x_up4 = self.ur_block(x4, x4, 64,
                               ('inverseconv', 64, (3, 3, 3), (2, 2, 2),
-                               (0, 1, 1), x3), 'up4', train)
+                               (0, 1, 1), x3, 'spconv4'), 'up4', train)
         if stop_after == 'up4':
             return x_up4.features
         x_up3 = self.ur_block(x3, x_up4, 64,
                               ('inverseconv', 32, (3, 3, 3), (2, 2, 2),
-                               (1, 1, 1), x2), 'up3', train)
+                               (1, 1, 1), x2, 'spconv3'), 'up3', train)
         if stop_after == 'up3':
             return x_up3.features
         x_up2 = self.ur_block(x2, x_up3, 32,
                               ('inverseconv', 16, (3, 3, 3), (2, 2, 2),
-                               (1, 1, 1), x1), 'up2', train)
+                               (1, 1, 1), x1, 'spconv2'), 'up2', train)
         if stop_after == 'up2':
             return x_up2.features
         x_up1 = self.ur_block(x1, x_up2, 16,
                               ('subm', 16, (3, 3, 3), (1, 1, 1), (1, 1, 1),
-                               None), 'up1', train)
+                               None, ''), 'up1', train)
 
         seg_features = x_up1.features                      # (B, V, 16)
         seg_cls_preds = TorchLinear(1, name='seg_cls_layer')(seg_features)

@@ -547,6 +547,12 @@ def _xwin_selectors(rules, n_in):
     base = jnp.min(jnp.where(f3, r3, INT_MAX), axis=2)
     base_c = jnp.where(base == INT_MAX, 0, base).astype(jnp.int32)
     off = jnp.where(f3, r3 - base_c[:, :, None], 3).astype(jnp.int32)
+    # Guard the 2-bit encoding: a found tap outside the 3-row window (the
+    # property is fuzz-checked in tests/test_xwin_property.py, but a future
+    # book geometry could break it) would overflow into the NEXT tap's
+    # selector bits and corrupt results silently; clamp it to the miss code
+    # so the worst case is a dropped tap, not cross-tap corruption.
+    off = jnp.minimum(off, 3)
     sel = off[:, :, 0] | (off[:, :, 1] << 2) | (off[:, :, 2] << 4)
     return base_c, sel
 
@@ -963,9 +969,16 @@ def _strided_out_set(level: SparseLevel, kernel, stride, padding, out_cap):
 
 
 def sparse_conv3d(level: SparseLevel, weights, kernel=3, stride=2, padding=1,
-                  out_cap=None, compute_dtype=None):
+                  out_cap=None, compute_dtype=None, indice_key=''):
     """Strided sparse conv (spconv SparseConv3d): output active set = every
-    output position whose receptive field touches an active input."""
+    output position whose receptive field touches an active input.
+
+    `indice_key` (static string) is stashed in the output's `strided_meta`;
+    an `inverse_conv3d` passing the same key reuses the forward book (spconv's
+    indice-key contract).  With the default '' on both sides, reuse falls back
+    to geometry+cap equality — callers whose target level is NOT the producing
+    conv's input must pass distinct keys to avoid a silent wrong book.
+    """
     kernel = _triple(kernel)
     stride = _triple(stride)
     padding = _triple(padding)
@@ -979,11 +992,13 @@ def sparse_conv3d(level: SparseLevel, weights, kernel=3, stride=2, padding=1,
     return SparseLevel(features=feats, ids=out_ids, coords=out_coords,
                        mask=out_mask, shape=out_shape, overflow=dropped,
                        strided_rules=jnp.where(found, rows, n_in),
-                       strided_meta=(kernel, stride, padding, n_in))
+                       strided_meta=(kernel, stride, padding, n_in,
+                                     indice_key))
 
 
 def inverse_conv3d(level: SparseLevel, target: SparseLevel, weights,
-                   kernel=3, stride=2, padding=1, compute_dtype=None):
+                   kernel=3, stride=2, padding=1, compute_dtype=None,
+                   indice_key=''):
     """Inverse (up) conv onto a stashed finer level's active set — the
     spconv SparseInverseConv3d / indice-key-reuse equivalent.
 
@@ -998,14 +1013,16 @@ def inverse_conv3d(level: SparseLevel, target: SparseLevel, weights,
     n_coarse = level.ids.shape[0]
     n_fine = target.ids.shape[0]
     if (level.strided_rules is not None
-            and level.strided_meta == (kernel, stride, padding, n_fine)):
+            and level.strided_meta == (kernel, stride, padding, n_fine,
+                                       indice_key)):
         # indice-key reuse: this conv inverts exactly the strided conv that
         # produced `level` onto the same fine active set (the UNet decoder
         # contract, reference rpn_unet.py SparseInverseConv3d indice keys) —
         # the book is the stashed forward book's transpose: one scatter,
-        # no lookup sort.  Correct only when `target` IS that conv's input
-        # level (same caps alone don't guarantee it — same contract as
-        # spconv's indice_key names).
+        # no lookup sort.  The stashed `indice_key` must match the caller's:
+        # geometry+cap equality alone cannot distinguish two different fine
+        # levels with the same cap (a mismatched key falls back to the
+        # lookup path below — slower, never wrong).
         inv_rules = _transpose_rules_from_fwd(level.strided_rules, n_fine,
                                               n_coarse)
         found = (inv_rules != n_coarse) & target.mask[:, None]
@@ -1098,21 +1115,21 @@ def subm_conv3d_batched(level, weights, kernel=3, compute_dtype=None):
 
 
 def sparse_conv3d_batched(level, weights, kernel=3, stride=2, padding=1,
-                          out_cap=None, compute_dtype=None):
+                          out_cap=None, compute_dtype=None, indice_key=''):
     out_shape = conv_out_shape(level.shape, kernel, stride, padding)
     out_meta = (_triple(kernel), _triple(stride), _triple(padding),
-                level.ids.shape[-1])
+                level.ids.shape[-1], indice_key)
     return _vmap_level_op(
         lambda lv: sparse_conv3d(lv, weights, kernel, stride, padding,
-                                 out_cap, compute_dtype), out_shape, level,
-        out_meta=out_meta)
+                                 out_cap, compute_dtype, indice_key),
+        out_shape, level, out_meta=out_meta)
 
 
 def inverse_conv3d_batched(level, target, weights, kernel=3, stride=2,
-                           padding=1, compute_dtype=None):
+                           padding=1, compute_dtype=None, indice_key=''):
     return _vmap_level_op(
         lambda lv, tg: inverse_conv3d(lv, tg, weights, kernel, stride,
-                                      padding, compute_dtype),
+                                      padding, compute_dtype, indice_key),
         target.shape, level, target, out_meta=target.strided_meta)
 
 

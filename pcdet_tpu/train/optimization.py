@@ -88,10 +88,13 @@ def _freeze_wrap(tx, frozen_prefixes):
     def labels(params):
         import flax.traverse_util as tu
         flat = tu.flatten_dict(params)
-        out = {k: ('freeze'
-                   if any('/'.join(str(s) for s in k).startswith(p)
-                          for p in frozen_prefixes) else 'train')
-               for k in flat}
+        def frozen(k):
+            # match whole path components: freezing 'conv1' must not also
+            # freeze 'conv1_extra', nor 'backbone' freeze 'backbone_3d'
+            path = '/'.join(str(s) for s in k)
+            return any(path == p or path.startswith(p + '/')
+                       for p in frozen_prefixes)
+        out = {k: ('freeze' if frozen(k) else 'train') for k in flat}
         return tu.unflatten_dict(out)
 
     return optax.multi_transform(

@@ -44,7 +44,7 @@ def main():
                  ((3, 1, 1), (2, 1, 1), (0, 0, 0))]
         for kernel, stride, padding in specs:
             out = sparse._strided_out_set(lv, kernel, stride, padding, cap)
-            ids2, coords2, mask2, shape2, _dropped = out
+            ids2, coords2, mask2, shape2 = out[:4]
             counts.append(int(mask2.sum()))
             lv = sparse.SparseLevel(jnp.zeros((cap, 1)), ids2, coords2,
                                     mask2, shape2)

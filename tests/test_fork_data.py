@@ -215,3 +215,25 @@ def test_pseudolidar_points_from_depth_roundtrip(tmp_path):
     want_lidar = calib.rect_to_lidar(want_rect)
     got = pts.reshape(bottom - top, w, 3)[vs - top, us]
     np.testing.assert_allclose(got, want_lidar, atol=1e-3)
+
+
+def test_frozen_prefix_component_boundary():
+    """Freezing 'conv1' must not also freeze 'conv1_extra', nor 'backbone'
+    freeze 'backbone_3d' (ADVICE r3: prefix match must respect path-component
+    boundaries)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from pcdet_tpu.train.optimization import _freeze_wrap
+
+    params = {'conv1': {'w': jnp.ones(3)},
+              'conv1_extra': {'w': jnp.ones(3)},
+              'backbone': {'w': jnp.ones(3)},
+              'backbone_3d': {'w': jnp.ones(3)}}
+    tx = _freeze_wrap(optax.sgd(1.0), ('conv1', 'backbone'))
+    st = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    upd, _ = tx.update(grads, st, params)
+    moved = {k: float(jnp.abs(v['w']).max()) for k, v in upd.items()}
+    assert moved['conv1'] == 0 and moved['backbone'] == 0
+    assert moved['conv1_extra'] > 0 and moved['backbone_3d'] > 0

@@ -114,7 +114,7 @@ def test_inverse_conv_indice_key_reuse(kernel, stride, padding):
     coarse = sparse.sparse_conv3d(fine, w_dn, kernel, stride, padding,
                                   out_cap=128)
     assert coarse.strided_rules is not None
-    assert coarse.strided_meta == (kernel, stride, padding, 96)
+    assert coarse.strided_meta == (kernel, stride, padding, 96, '')
 
     up = sparse.inverse_conv3d(coarse, fine, w_up, kernel, stride, padding)
 
@@ -133,6 +133,38 @@ def test_inverse_conv_indice_key_reuse(kernel, stride, padding):
     g1 = jax.grad(lambda w: loss(coarse, w))(w_up)
     g2 = jax.grad(lambda w: loss(coarse_fresh, w))(w_up)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_inverse_conv_key_mismatch_falls_back():
+    """A target level that is NOT the producing conv's input but has the
+    same cap must NOT silently reuse the stashed book when indice keys
+    differ (ADVICE r3): the mismatched key forces the fresh lookup path,
+    which stays correct for the actual target."""
+    rng = np.random.RandomState(13)
+    shape = (9, 16, 16)
+    kernel, stride, padding = (3, 3, 3), (2, 2, 2), (1, 1, 1)
+    fine_a = _rand_level(rng, 96, shape)
+    fine_b = _rand_level(rng, 96, shape)      # same cap, different sites
+    w_dn = jnp.asarray(rng.randn(27, 4, 6).astype(np.float32))
+    w_up = jnp.asarray(rng.randn(27, 6, 5).astype(np.float32))
+
+    coarse = sparse.sparse_conv3d(fine_a, w_dn, kernel, stride, padding,
+                                  out_cap=128, indice_key='enc_a')
+    # inverse onto the UNRELATED fine_b with a different key: falls back
+    up_b = sparse.inverse_conv3d(coarse, fine_b, w_up, kernel, stride,
+                                 padding, indice_key='other')
+    coarse_fresh = coarse._replace(strided_rules=None, strided_meta=None)
+    up_b_ref = sparse.inverse_conv3d(coarse_fresh, fine_b, w_up, kernel,
+                                     stride, padding)
+    np.testing.assert_array_equal(np.asarray(up_b.features),
+                                  np.asarray(up_b_ref.features))
+    # matching key on the true parent still takes the reuse path
+    up_a = sparse.inverse_conv3d(coarse, fine_a, w_up, kernel, stride,
+                                 padding, indice_key='enc_a')
+    up_a_ref = sparse.inverse_conv3d(coarse_fresh, fine_a, w_up, kernel,
+                                     stride, padding)
+    np.testing.assert_array_equal(np.asarray(up_a.features),
+                                  np.asarray(up_a_ref.features))
 
 
 def test_unet_decoder_reuses_forward_books(monkeypatch):
