@@ -86,3 +86,26 @@ def test_predict(setup):
     preds = model.predict(ret)
     assert preds['boxes'].shape == (2, 64, 7)
     assert preds['labels'].shape == (2, 64)
+
+
+def test_unetv0_buildable_from_config():
+    """UNetV0 is registered (reference pcdet/models/rpn/__init__.py:1,7) and
+    buildable via MODEL.RPN.BACKBONE.NAME; it is architecturally UNetV2
+    (backbones3d.py UNetV0 note), so a forward pass must run and match V2's
+    output shapes."""
+    import jax
+    from tests.tiny_config import tiny_parta2_cfg
+    from pcdet_tpu.datasets.synthetic import SyntheticDataset
+    from pcdet_tpu.datasets.dataset import collate_batch
+    from pcdet_tpu.models.build import build_network
+
+    cfg = tiny_parta2_cfg(num_class=1)
+    cfg.MODEL.RPN.BACKBONE.NAME = 'UNetV0'
+    ds = SyntheticDataset(cfg, training=False)
+    model = build_network(cfg, ds.grid_size)
+    ds.set_anchor_targets(model.anchor_targets)
+    batch = collate_batch([ds[0], ds[1]])
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+    ret, _ = model.forward(variables, batch, train=False)
+    preds = model.predict(ret)
+    assert preds['boxes'].shape[-1] == 7
