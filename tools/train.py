@@ -17,6 +17,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+from pcdet_tpu.utils.platform import apply_platform_env
+apply_platform_env()
+
 
 def parse_config():
     parser = argparse.ArgumentParser(description='pcdet_tpu trainer')
