@@ -171,6 +171,9 @@ def main():
         if os.environ.get('PCDET_SPARSE_LOOKUP') == 'bitmap':
             r['metric'] += '_bitmap'   # don't clobber the sort-backend row
         r['setup_plus_bench_s'] = round(time.perf_counter() - t0, 1)
+        # stamp rows so stale pre-cap-fix numbers are distinguishable from
+        # refreshed ones (VERDICT r3 weak #2)
+        r['measured_at'] = time.strftime('%Y-%m-%d')
         results.append(r)
         print(json.dumps(r), flush=True)
         flush_results()  # write-through: a later crash keeps earlier numbers
@@ -183,6 +186,10 @@ def main():
         run(bench_train, 'parta2', 'PartA2.yaml')
     if 'pointpillar' in want:
         run(bench_train, 'pointpillar', 'pointpillar.yaml', batch_size=4)
+    if 'pointpillar_eval' in want:
+        # batch-scaling evidence for the batched NMS (VERDICT r3 weak #4:
+        # B8 >= B2 fps/chip is the bar; pre-fix B8 was 42.3 vs 80.6 at B2)
+        run(bench_eval, 'pointpillar', 'pointpillar.yaml')
     if 'second_bf16' in want:
         run(bench_eval, 'second_bf16', 'second.yaml',
             compute_dtype='bfloat16')

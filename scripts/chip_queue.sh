@@ -87,11 +87,16 @@ step super-r4 env PCDET_XWIN_SUPER_R=4 python scripts/exp_xwin_loads.py
 step bench-b8-super env PCDET_XWIN_SUPER=1 \
     python scripts/bench_models.py --models second --batch_size 8
 
-# 5. PointPillar batch scaling with the batched NMS
+# 5. PointPillar batch scaling with the batched NMS (bench.py: full raw-scan
+# path incl. on-device voxelize; bench_models rows: recorded to
+# BENCH_MODELS.json for the B8>=B2 batched-NMS evidence, VERDICT r3 #3)
 step pp-b16 env BENCH_BATCH=16 python bench.py
 step pp-b8 env BENCH_BATCH=8 python bench.py
 step pp-b4 env BENCH_BATCH=4 python bench.py
 step pp-b2 python bench.py
+step pp-rows-b2 python scripts/bench_models.py --models pointpillar_eval --batch_size 2
+step pp-rows-b4 python scripts/bench_models.py --models pointpillar_eval --batch_size 4
+step pp-rows-b8 python scripts/bench_models.py --models pointpillar_eval --batch_size 8
 
 # 6. per-stage eval profile refresh (+ PointPillar carve-up)
 step stages python scripts/profile_eval_stages.py \
@@ -112,5 +117,16 @@ CKPT2=$(python -c "from pcdet_tpu.train.checkpoint import latest_checkpoint; pri
 step verify-eval-parta2 python tools/test.py \
     --cfg_file tools/cfgs/synthetic_smoke_parta2.yaml \
     --batch_size 2 --workers 0 --extra_tag verify --ckpt "$CKPT2"
+
+# 9. commit the measurement artifacts so they survive even if the session
+# ends before a human-driven commit (the driver only auto-commits at round
+# end; a tunnel that comes back late must not lose the numbers)
+git add -A CHIP_QUEUE_LOG.txt BENCH_MODELS.json ROOFLINE.json \
+    PROFILE_EVAL_STAGES.json 2>/dev/null
+git -c user.name="$(git config user.name || echo chip-queue)" \
+    -c user.email="$(git config user.email || echo chip-queue@local)" \
+    commit -m "Chip queue: record on-chip measurement artifacts" \
+    --only CHIP_QUEUE_LOG.txt BENCH_MODELS.json ROOFLINE.json \
+    PROFILE_EVAL_STAGES.json 2>&1 | tail -2 | tee -a $LOG
 
 echo "=== chip queue done $(date)" | tee -a $LOG

@@ -1,0 +1,259 @@
+"""End-to-end AP-string parity against the EXECUTED reference pipeline
+(VERDICT r3 next-round #5).
+
+Two seams close here, on identical fabricated mini-KITTI data:
+
+1. prediction -> anno conversion: our `KittiDataset.generate_annotations`
+   vs the reference's executed `generate_prediction_dict` (kitti_dataset.py
+   :443-483) + `generate_annotations` (:486-600), from the SAME post-NMS
+   detections — field-level anno equality plus identical
+   `get_official_eval_result` strings (reference kitti_dataset.py:602-613 ->
+   eval.py:637).
+2. the CLI glue: `tools/test.py` run end-to-end on the mini tree (CPU
+   platform) must log exactly the AP string the executed reference evaluator
+   computes from the CLI's own saved `result.pkl` detections.
+
+The reference's numba-CUDA rotate_iou cannot run here; BOTH pipelines get
+this repo's native `rotate_iou_eval` (same substitution as
+tests/test_eval_bit_parity.py, where the statistics path is bit-parity
+fuzzed), so the comparison is exact.
+"""
+import copy
+import os
+import pickle
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import ref_torch
+from pcdet_tpu import native
+from test_kitti_dataset import _kitti_cfg, _make_kitti_tree
+
+REPO = Path(__file__).resolve().parents[1]
+pytestmark = pytest.mark.slow
+
+
+def _load_ref_kitti():
+    ref_torch.install_stubs()
+    if str(ref_torch.REFERENCE_ROOT) not in sys.path:
+        sys.path.insert(0, str(ref_torch.REFERENCE_ROOT))
+    import pcdet.datasets.kitti.kitti_dataset as ref_kd
+    import pcdet.datasets.kitti.kitti_object_eval_python.eval as ref_eval
+    from pcdet.utils import calibration as ref_calibration
+    ref_eval.rotate_iou_gpu_eval = native.rotate_iou_eval
+    return ref_kd, ref_eval, ref_calibration
+
+
+@pytest.fixture(scope='module')
+def mini_kitti(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp('mini_kitti'))
+    ids = _make_kitti_tree(root, n_frames=6)
+    # more val frames than the default single one: AP curves with > 1 GT
+    with open(os.path.join(root, 'ImageSets', 'val.txt'), 'w') as f:
+        f.write('\n'.join(ids[2:]) + '\n')
+    cfg = _kitti_cfg(root)
+    cfg.DATA_CONFIG.AUGMENTATION.DB_SAMPLER.ENABLED = False
+    # match the reference pointpillar.yaml BOX_FILTER exactly (the reference
+    # side reads it from its GLOBAL cfg) so both converters run the same
+    # image-area + range filters
+    cfg.MODEL.TEST.BOX_FILTER = {
+        'USE_IMAGE_AREA_FILTER': True,
+        'LIMIT_RANGE': [0, -40, -3.0, 70.4, 40, 3.0],
+    }
+    from pcdet_tpu.datasets.kitti.kitti_dataset import create_kitti_infos
+    create_kitti_infos(cfg, data_path=root, save_path=root, workers=1)
+    return root, ids, cfg
+
+
+def _fabricate_predictions(val_ds, rng):
+    """Per-frame detections exercising every converter filter: a near-GT hit,
+    a shifted duplicate, an out-of-range box, and a behind-camera box (lands
+    outside the image -> image-area filter)."""
+    preds = []
+    for info in val_ds.kitti_infos:
+        gt = info['annos']['gt_boxes_lidar'][0]
+        near = gt + rng.normal(0, 0.05, 7)
+        dup = gt + np.array([1.5, 1.0, 0, 0, 0, 0, 0.2])
+        far = np.array([150.0, 90.0, -1.0, 1.6, 3.9, 1.5, 0.1])
+        edge = np.array([10.0, 7.5, -1.0, 1.6, 3.9, 1.5, 1.2])
+        boxes = np.stack([near, dup, far, edge]).astype(np.float32)
+        scores = np.array([0.95, 0.55, 0.9, 0.9], np.float32)
+        labels = np.ones(4, np.int32)          # Car (1-based)
+        preds.append((boxes, scores, labels))
+    return preds
+
+
+def test_anno_converter_and_ap_string_parity(mini_kitti):
+    root, ids, cfg = mini_kitti
+    from pcdet_tpu.datasets.kitti.kitti_dataset import KittiDataset
+    from pcdet_tpu.datasets.dataset import collate_batch
+
+    ref_kd, ref_eval, ref_calibration = _load_ref_kitti()
+    # reference modules read the GLOBAL reference cfg for BOX_FILTER flags;
+    # load the same yaml family our cfg derives from
+    ref_cfg = ref_torch.load_ref_cfg('pointpillar.yaml')
+
+    val_ds = KittiDataset(cfg, training=False)
+    rng = np.random.RandomState(0)
+    per_frame = _fabricate_predictions(val_ds, rng)
+
+    # ---- ours: batched fixed-shape preds -> annos
+    batch = collate_batch([val_ds[i] for i in range(len(val_ds))])
+    cap = max(len(b) for b, _, _ in per_frame)
+    n = len(per_frame)
+    preds = {
+        'boxes': np.zeros((n, cap, 7), np.float32),
+        'scores': np.zeros((n, cap), np.float32),
+        'labels': np.zeros((n, cap), np.int32),
+        'valid': np.zeros((n, cap), bool),
+    }
+    for i, (b, s, l) in enumerate(per_frame):
+        preds['boxes'][i, :len(b)] = b
+        preds['scores'][i, :len(b)] = s
+        preds['labels'][i, :len(b)] = l
+        preds['valid'][i, :len(b)] = True
+    our_annos = val_ds.generate_annotations(batch, preds, cfg.CLASS_NAMES)
+
+    # ---- reference, executed: same detections through :443 + :486
+    import torch
+    input_dict = {
+        'sample_idx': [info['point_cloud']['lidar_idx']
+                       for info in val_ds.kitti_infos],
+        'calib': [ref_calibration.Calibration(
+            os.path.join(root, 'training', 'calib', '%s.txt' % sid))
+            for sid in (info['point_cloud']['lidar_idx']
+                        for info in val_ds.kitti_infos)],
+        'image_shape': [info['image']['image_shape']
+                        for info in val_ds.kitti_infos],
+    }
+    pred_dicts = []
+    for i, (b, s, l) in enumerate(per_frame):
+        record = {'boxes': torch.from_numpy(b), 'scores': torch.from_numpy(s),
+                  'labels': torch.from_numpy(l)}
+        pred_dicts.append(ref_kd.BaseKittiDataset.generate_prediction_dict(
+            input_dict, i, record))
+    ref_annos = ref_kd.BaseKittiDataset.generate_annotations(
+        input_dict, pred_dicts, list(cfg.CLASS_NAMES))
+
+    # field-level anno parity
+    assert len(our_annos) == len(ref_annos)
+    for ours, ref in zip(our_annos, ref_annos):
+        assert list(ours['name']) == list(ref['name'])
+        for key in ('bbox', 'dimensions', 'location', 'rotation_y',
+                    'score', 'alpha', 'boxes_lidar'):
+            np.testing.assert_allclose(
+                np.asarray(ours[key], np.float64),
+                np.asarray(ref[key], np.float64),
+                rtol=1e-5, atol=1e-5, err_msg=key)
+
+    # identical final AP strings from the two evaluator entries
+    gt = [copy.deepcopy(info['annos']) for info in val_ds.kitti_infos]
+    our_str, our_dict = val_ds.evaluation(our_annos, list(cfg.CLASS_NAMES))
+    ref_str, ref_dict = ref_eval.get_official_eval_result(
+        copy.deepcopy(gt), copy.deepcopy(ref_annos), list(cfg.CLASS_NAMES))
+    assert our_str == ref_str, 'AP result strings diverge:\n%s\n--- vs ---\n%s' % (
+        our_str, ref_str)
+    # and the dict agrees (evaluator bit-parity covers the numerics; this
+    # guards the converter seam feeding it)
+    # (abs 1e-6: the converters agree to float32 resolution, which moves
+    # IoU overlaps — and thus AP — in the ~1e-9 decimals; the STRING above
+    # is the exact-parity bar)
+    for k, v in ref_dict.items():
+        assert our_dict[k] == pytest.approx(v, abs=1e-6), k
+    # sanity: the near-GT detections must actually score (non-degenerate AP)
+    assert our_dict['Car_3d_easy'] > 0
+
+
+def test_cli_to_ap_string_parity(mini_kitti, tmp_path):
+    """tools/test.py end-to-end on the mini tree: the AP string it logs must
+    equal the executed reference evaluator's string computed from the CLI's
+    own saved result.pkl detections and the info-pkl GT annos."""
+    root, ids, cfg = mini_kitti
+    import jax
+    from pcdet_tpu.datasets.kitti.kitti_dataset import KittiDataset
+    from pcdet_tpu.models.build import build_network
+    from pcdet_tpu.train.checkpoint import save_checkpoint
+    from pcdet_tpu.train.train_state import create_train_state
+    import optax
+
+    # a checkpoint for the CLI: random-init tiny PointPillar (nontrivial
+    # detections at a floor score threshold)
+    val_ds = KittiDataset(cfg, training=False)
+    model = build_network(cfg, val_ds.grid_size)
+    val_ds.set_anchor_targets(model.anchor_targets)
+    from pcdet_tpu.datasets.dataset import collate_batch
+    batch = collate_batch([val_ds[0]])
+    dev = {k: v for k, v in batch.items()
+           if isinstance(v, np.ndarray) and v.dtype.kind in 'biufc'}
+    variables = model.init_variables(jax.random.PRNGKey(3), dev)
+    state = create_train_state(variables, optax.sgd(1e-3))
+    ckpt_dir = tmp_path / 'ckpt'
+    save_checkpoint(state, str(ckpt_dir), epoch=2)
+
+    # the CLI reads the cfg from yaml; write the test cfg's overrides there
+    import yaml
+    cfg_path = tmp_path / 'mini_pp.yaml'
+    with open(REPO / 'tools' / 'cfgs' / 'synthetic_smoke.yaml') as f:
+        smoke = yaml.safe_load(f)
+    smoke['DATA_CONFIG'] = _plain(cfg.DATA_CONFIG)
+    smoke['MODEL'] = _plain(cfg.MODEL)
+    smoke['CLASS_NAMES'] = list(cfg.CLASS_NAMES)
+    smoke['MODEL']['TEST']['SCORE_THRESH'] = 0.01
+    # the CLI resolves DATA_DIR / INFO_PATH against its own ROOT_DIR (the
+    # repo); absolute paths pass through os.path.join untouched
+    smoke['DATA_CONFIG']['DATA_DIR'] = root
+    for split in ('TRAIN', 'TEST'):
+        smoke['DATA_CONFIG'][split]['INFO_PATH'] = [
+            '/' + p.lstrip('/')
+            for p in smoke['DATA_CONFIG'][split]['INFO_PATH']]
+    with open(cfg_path, 'w') as f:
+        yaml.safe_dump(smoke, f)
+
+    env = dict(os.environ, PCDET_PLATFORM='cpu',
+               JAX_COMPILATION_CACHE_DIR=str(REPO / '.jax_cache'))
+    r = subprocess.run(
+        [sys.executable, str(REPO / 'tools' / 'test.py'),
+         '--cfg_file', str(cfg_path),
+         '--batch_size', '2', '--workers', '0',
+         '--extra_tag', 'ap_parity',
+         '--ckpt', str(ckpt_dir / 'checkpoint_epoch_2')],
+        capture_output=True, text=True, timeout=3000, env=env,
+        cwd=REPO)
+    assert r.returncode == 0, r.stderr[-4000:]
+
+    tag = Path(str(cfg_path)).stem
+    eval_dir = (REPO / 'output' / tag / 'ap_parity' / 'eval' / 'epoch_2'
+                / cfg.MODEL.TEST.SPLIT)
+    with open(eval_dir / 'result.pkl', 'rb') as f:
+        det_annos = pickle.load(f)
+    assert len(det_annos) == len(val_ds.kitti_infos)
+    # random weights at a floor threshold must still emit detections — an
+    # all-empty det set would make the string parity below vacuous
+    assert sum(len(a['name']) for a in det_annos) > 0
+
+    log_files = sorted((REPO / 'output' / tag / 'ap_parity').rglob('log_*.txt'))
+    log_txt = ''.join(p.read_text() for p in log_files) + r.stdout
+
+    _, ref_eval, _ = _load_ref_kitti()
+    gt = [copy.deepcopy(info['annos']) for info in val_ds.kitti_infos]
+    ref_str, _ = ref_eval.get_official_eval_result(
+        gt, copy.deepcopy(det_annos), list(cfg.CLASS_NAMES))
+    # the CLI must have logged exactly the reference-computed AP block
+    norm = re.sub(r'\s+', ' ', log_txt)
+    assert re.sub(r'\s+', ' ', ref_str).strip() in norm, \
+        'CLI log does not contain the reference AP string:\n%s' % ref_str
+
+
+def _plain(d):
+    """EDict -> plain dict/list for yaml dumping."""
+    if isinstance(d, dict):
+        return {k: _plain(v) for k, v in d.items()}
+    if isinstance(d, (list, tuple)):
+        return [_plain(v) for v in d]
+    if isinstance(d, (np.floating, np.integer)):
+        return d.item()
+    return d

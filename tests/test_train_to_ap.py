@@ -58,3 +58,78 @@ def test_overfit_reaches_nontrivial_ap(tmp_path):
     # both metrics (measured: AP ~18, recall ~0.4 at this budget).
     assert recall > 0.2, result
     assert ap > 8.0, (ap, result)
+
+def _overfit_and_eval(cfg, build, steps, lr, tmp_path, seed=123):
+    """Shared overfit->official-AP loop (VERDICT r3 #6: the sparse and
+    two-stage models need the same full-loop guard as PointPillar — the
+    two-stage decode path, reference detector3d.py:130-151, is where silent
+    AP loss would hide)."""
+    import jax
+    import optax
+    from pcdet_tpu.datasets.synthetic import SyntheticDataset
+    from pcdet_tpu.datasets.loader import DataLoader
+    from pcdet_tpu.datasets.dataset import collate_batch
+    from pcdet_tpu.train.eval_loop import eval_one_epoch
+    from pcdet_tpu.train.train_state import create_train_state, make_train_step
+
+    np.random.seed(seed)
+    train_ds = SyntheticDataset(cfg, training=True)
+    model = build(cfg, train_ds.grid_size)
+    train_ds.set_anchor_targets(model.anchor_targets)
+
+    batch_np = collate_batch([train_ds[i] for i in range(4)])
+    import jax.numpy as jnp
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()
+             if isinstance(v, np.ndarray) and v.dtype != object}
+    variables = model.init_variables(jax.random.PRNGKey(0), batch)
+
+    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(lr))
+    state = create_train_state(variables, tx)
+    step_fn = make_train_step(model, tx, donate=False)
+
+    losses = []
+    for i in range(steps):
+        state, tb = step_fn(state, batch)
+        if i % 100 == 0:
+            losses.append(float(jax.device_get(tb['loss'])))
+    assert losses[-1] < losses[0], losses
+
+    val_ds = SyntheticDataset(cfg, training=False)
+    val_loader = DataLoader(val_ds, batch_size=2, shuffle=False,
+                            num_workers=0, drop_last=False)
+    return eval_one_epoch(model, state.params, state.batch_stats,
+                          val_loader, cfg, result_dir=str(tmp_path))
+
+
+@pytest.mark.slow
+def test_second_overfit_reaches_nontrivial_ap(tmp_path):
+    from tiny_config import tiny_second_cfg
+    from pcdet_tpu.models.build import build_network
+
+    cfg = tiny_second_cfg(num_class=1)
+    cfg.DATA_CONFIG.SYNTHETIC.NUM_SAMPLES = 4
+    cfg.DATA_CONFIG.SYNTHETIC.NUM_OBJECTS = 6
+    cfg.MODEL.TEST.SCORE_THRESH = 0.3
+    result = _overfit_and_eval(cfg, build_network, steps=500, lr=3e-3,
+                               tmp_path=tmp_path)
+    recall = result['recall/rcnn_0.5'] / max(result['recall/gt'], 1)
+    assert recall > 0.2, result
+    assert result['Car_3d_easy'] > 5.0, result
+
+
+@pytest.mark.slow
+def test_parta2_overfit_reaches_nontrivial_ap(tmp_path):
+    """Two-stage loop: RPN + proposal-target + RCNN losses down to the
+    official evaluator through the stage-2 decode (roi + local residuals)."""
+    from tiny_config import tiny_parta2_cfg
+    from pcdet_tpu.models.build import build_network
+
+    cfg = tiny_parta2_cfg(num_class=1)
+    cfg.DATA_CONFIG.SYNTHETIC.NUM_SAMPLES = 4
+    cfg.DATA_CONFIG.SYNTHETIC.NUM_OBJECTS = 6
+    cfg.MODEL.TEST.SCORE_THRESH = 0.1
+    result = _overfit_and_eval(cfg, build_network, steps=400, lr=2e-3,
+                               tmp_path=tmp_path)
+    recall = result['recall/rcnn_0.5'] / max(result['recall/gt'], 1)
+    assert recall > 0.15, result
+    assert result['Car_3d_easy'] > 3.0, result
