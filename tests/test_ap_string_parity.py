@@ -168,11 +168,38 @@ def test_anno_converter_and_ap_string_parity(mini_kitti):
     assert our_dict['Car_3d_easy'] > 0
 
 
-def test_cli_to_ap_string_parity(mini_kitti, tmp_path):
-    """tools/test.py end-to-end on the mini tree: the AP string it logs must
-    equal the executed reference evaluator's string computed from the CLI's
-    own saved result.pkl detections and the info-pkl GT annos."""
-    root, ids, cfg = mini_kitti
+def _mini_model_cfg(root, which):
+    """Per-family tiny config pointed at the mini tree.  PointPillar reuses
+    the shared _kitti_cfg; SECOND/Part-A² apply the same data-path overrides
+    onto their tiny model configs with a z-resolved voxel grid."""
+    if which == 'pointpillar':
+        return _kitti_cfg(root)
+    from tiny_config import tiny_second_cfg, tiny_parta2_cfg
+    base = {'second': tiny_second_cfg, 'parta2': tiny_parta2_cfg}[which]
+    cfg = base(num_class=3)
+    pp = _kitti_cfg(root)
+    cfg.ROOT_DIR = pp.ROOT_DIR
+    cfg.DATA_CONFIG.DATASET = 'KittiDataset'
+    cfg.DATA_CONFIG.DATA_DIR = pp.DATA_CONFIG.DATA_DIR
+    cfg.DATA_CONFIG.FOV_POINTS_ONLY = True
+    cfg.DATA_CONFIG.POINT_CLOUD_RANGE = [0, -39.68, -3, 69.12, 39.68, 1]
+    cfg.DATA_CONFIG.VOXEL_GENERATOR.VOXEL_SIZE = [0.32, 0.32, 0.5]
+    cfg.DATA_CONFIG.TRAIN.INFO_PATH = pp.DATA_CONFIG.TRAIN.INFO_PATH
+    cfg.DATA_CONFIG.TEST.INFO_PATH = pp.DATA_CONFIG.TEST.INFO_PATH
+    cfg.DATA_CONFIG.AUGMENTATION.DB_SAMPLER.ENABLED = False
+    cfg.MODEL.TRAIN.SPLIT = 'train'
+    cfg.MODEL.TEST.SPLIT = 'val'
+    return cfg
+
+
+@pytest.mark.parametrize('which', ['pointpillar', 'second', 'parta2'])
+def test_cli_to_ap_string_parity(mini_kitti, tmp_path, which):
+    """tools/test.py end-to-end on the mini tree, for ALL THREE model
+    families (VERDICT r3 #5): the AP string each CLI run logs must equal the
+    executed reference evaluator's string computed from the CLI's own saved
+    result.pkl detections and the info-pkl GT annos."""
+    root, ids, _ = mini_kitti
+    cfg = _mini_model_cfg(root, which)
     import jax
     from pcdet_tpu.datasets.kitti.kitti_dataset import KittiDataset
     from pcdet_tpu.models.build import build_network
@@ -180,7 +207,7 @@ def test_cli_to_ap_string_parity(mini_kitti, tmp_path):
     from pcdet_tpu.train.train_state import create_train_state
     import optax
 
-    # a checkpoint for the CLI: random-init tiny PointPillar (nontrivial
+    # a checkpoint for the CLI: random-init tiny model (nontrivial
     # detections at a floor score threshold)
     val_ds = KittiDataset(cfg, training=False)
     model = build_network(cfg, val_ds.grid_size)
@@ -196,7 +223,7 @@ def test_cli_to_ap_string_parity(mini_kitti, tmp_path):
 
     # the CLI reads the cfg from yaml; write the test cfg's overrides there
     import yaml
-    cfg_path = tmp_path / 'mini_pp.yaml'
+    cfg_path = tmp_path / ('mini_%s.yaml' % which)
     with open(REPO / 'tools' / 'cfgs' / 'synthetic_smoke.yaml') as f:
         smoke = yaml.safe_load(f)
     smoke['DATA_CONFIG'] = _plain(cfg.DATA_CONFIG)

@@ -128,7 +128,9 @@ def test_parta2_overfit_reaches_nontrivial_ap(tmp_path):
     cfg.DATA_CONFIG.SYNTHETIC.NUM_SAMPLES = 4
     cfg.DATA_CONFIG.SYNTHETIC.NUM_OBJECTS = 6
     cfg.MODEL.TEST.SCORE_THRESH = 0.1
-    result = _overfit_and_eval(cfg, build_network, steps=400, lr=2e-3,
+    # 250 steps ≈ 45 min on the 1-core CI host; enough for the regression
+    # bar (an unwired stage-2 scores ~0 on both metrics)
+    result = _overfit_and_eval(cfg, build_network, steps=250, lr=3e-3,
                                tmp_path=tmp_path)
     recall = result['recall/rcnn_0.5'] / max(result['recall/gt'], 1)
     assert recall > 0.15, result
