@@ -168,8 +168,23 @@ def main():
             return
         if args.batch_size:
             r['metric'] += '_b%d' % args.batch_size
-        if os.environ.get('PCDET_SPARSE_LOOKUP') == 'bitmap':
-            r['metric'] += '_bitmap'   # don't clobber the sort-backend row
+        # A/B variant passes get metric suffixes so they never clobber the
+        # stock rows (the queue's env-clean passes own the plain metrics)
+        lookup = os.environ.get('PCDET_SPARSE_LOOKUP', '')
+        if lookup and lookup != 'sort':
+            r['metric'] += '_%s' % lookup
+        if os.environ.get('PCDET_XWIN_SUPER'):
+            r['metric'] += '_super'
+        if os.environ.get('PCDET_DISABLE_TILE_GATE'):
+            r['metric'] += '_nogate'
+        tv = os.environ.get('PCDET_GATHER_TV', '')
+        if tv and tv != '64':
+            r['metric'] += '_tv%s' % tv
+        dtail = os.environ.get('PCDET_DENSE_TAIL', '')
+        if dtail and dtail != 'off':
+            r['metric'] += '_dtail_%s' % dtail
+        if os.environ.get('PCDET_BENCH_TAG'):
+            r['metric'] += os.environ['PCDET_BENCH_TAG']
         r['setup_plus_bench_s'] = round(time.perf_counter() - t0, 1)
         # stamp rows so stale pre-cap-fix numbers are distinguishable from
         # refreshed ones (VERDICT r3 weak #2)

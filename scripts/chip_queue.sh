@@ -58,7 +58,7 @@ step bench-b8-auto env PCDET_SPARSE_LOOKUP=auto \
 # bitmap 11.6 MB/sample, cumsum ~2-3 ms at B8; whether it beats the conv1
 # book's merged sort is an open question this answers)
 step bench-b8-bitmap-all env PCDET_SPARSE_LOOKUP=auto \
-    PCDET_BITMAP_MAX_CELLS=200000000 \
+    PCDET_BITMAP_MAX_CELLS=200000000 PCDET_BENCH_TAG=_allbitmap \
     python scripts/bench_models.py --models second --batch_size 8
 
 # 4c. upper end of the batch-scaling curve (batched NMS + lazy decode may
@@ -85,6 +85,14 @@ step super-r4 env PCDET_XWIN_SUPER_R=4 python scripts/exp_xwin_loads.py
 # 4g. e2e SECOND bench with the superwindow kernels on (best-R pick is
 # manual after 4f; R=8 is the TV=64-compatible default)
 step bench-b8-super env PCDET_XWIN_SUPER=1 \
+    python scripts/bench_models.py --models second --batch_size 8
+
+# 4h. dense-tail A/B (ops/dense.py): conv4/conv_out as masked dense conv3d.
+# 'subm' keeps the strided conv4_0 sparse; 'full' densifies from the /4
+# input (pairs with bf16 — the /4 canvas is 1.6 GB at B8 in bf16, 3.2 f32).
+step bench-b8-dtail-subm env PCDET_DENSE_TAIL=subm \
+    python scripts/bench_models.py --models second,parta2 --batch_size 8
+step bench-b8-dtail-full env PCDET_DENSE_TAIL=full \
     python scripts/bench_models.py --models second --batch_size 8
 
 # 5. PointPillar batch scaling with the batched NMS (bench.py: full raw-scan
