@@ -217,18 +217,32 @@ class BackBone8x(nn.Module):
                           out_cap=caps[1], indice_key='spconv3',
                           name='conv3_0')(x2, train)
         overflow['conv3'] = x3.overflow
-        x3 = SpConvBNReLU(64, name='conv3_1')(x3, train)
-        x3 = SpConvBNReLU(64, name='conv3_2')(x3, train)
         tail = _dense_tail_mode(self, train)
+        if tail == 'conv3':
+            # dense from conv3_1 on: the /4 subm pair + everything below
+            # runs as masked dense conv3d (pair with bfloat16 — the /4
+            # canvas is ~200 MB/sample in bf16).  x_conv3 is gathered back
+            # at conv3_0's sites for dict consumers.
+            cd3 = (jnp.bfloat16
+                   if _effective_dtype(self, train) == 'bfloat16' else None)
+            x3g = dense_ops.from_level(x3, dtype=cd3)
+            x3g = SpConvBNReLU(64, name='conv3_1')(x3g, train)
+            x3g = SpConvBNReLU(64, name='conv3_2')(x3g, train)
+            x3 = dense_ops.gather_level(x3g, x3)
+        else:
+            x3g = None
+            x3 = SpConvBNReLU(64, name='conv3_1')(x3, train)
+            x3 = SpConvBNReLU(64, name='conv3_2')(x3, train)
         if tail:
             # Dense tail (ops/dense.py): conv4/conv_out as masked dense
-            # conv3d on the /8 (and, for 'full', /4-input) grid — no caps,
-            # no truncation, overflow is identically zero.
+            # conv3d on the /8 (and, for 'full'/'conv3', /4-input) grid —
+            # no caps, no truncation, overflow is identically zero.
             zeros_b = jnp.zeros(x3.features.shape[0], jnp.int32)
             cd = (jnp.bfloat16
                   if _effective_dtype(self, train) == 'bfloat16' else None)
-            if tail == 'full':
-                xg = dense_ops.from_level(x3, dtype=cd)
+            if tail in ('full', 'conv3'):
+                xg = (x3g if x3g is not None
+                      else dense_ops.from_level(x3, dtype=cd))
                 xg = SpConvBNReLU(64, stride=(2, 2, 2), padding=(0, 1, 1),
                                   conv_type='spconv', name='conv4_0')(
                                       xg, train)
@@ -414,15 +428,25 @@ class UNetV2(nn.Module):
                           out_cap=caps[1], indice_key='spconv3',
                           name='conv3_0')(x2, train)
         overflow['conv3'] = x3.overflow
-        x3 = SpConvBNReLU(64, name='conv3_1')(x3, train)
-        x3 = SpConvBNReLU(64, name='conv3_2')(x3, train)
+        tail = _dense_tail_mode(self, train)
+        if tail == 'conv3':
+            # dense /4 subm pair, gathered back at conv3_0's sites so the
+            # decoder's lateral x3 (and its 'spconv3' book) are unchanged
+            cd3 = (jnp.bfloat16
+                   if _effective_dtype(self, train) == 'bfloat16' else None)
+            x3g = dense_ops.from_level(x3, dtype=cd3)
+            x3g = SpConvBNReLU(64, name='conv3_1')(x3g, train)
+            x3g = SpConvBNReLU(64, name='conv3_2')(x3g, train)
+            x3 = dense_ops.gather_level(x3g, x3)
+        else:
+            x3 = SpConvBNReLU(64, name='conv3_1')(x3, train)
+            x3 = SpConvBNReLU(64, name='conv3_2')(x3, train)
         if stop_after == 'conv3':
             return x3.features
         x4 = SpConvBNReLU(64, stride=(2, 2, 2), padding=(0, 1, 1),
                           conv_type='spconv', out_cap=caps[2],
                           indice_key='spconv4', name='conv4_0')(x3, train)
         overflow['conv4'] = x4.overflow
-        tail = _dense_tail_mode(self, train)
         if tail:
             # Dense tail (ops/dense.py): conv4_1/conv4_2/conv_out as masked
             # dense conv3d; conv4_0 stays sparse because the decoder's up4

@@ -94,6 +94,11 @@ step bench-b8-dtail-subm env PCDET_DENSE_TAIL=subm \
     python scripts/bench_models.py --models second,parta2 --batch_size 8
 step bench-b8-dtail-full env PCDET_DENSE_TAIL=full \
     python scripts/bench_models.py --models second --batch_size 8
+# conv3 mode: dense from the /4 subm pair on — only sane with bf16
+# (the /4 canvas is ~200 MB/sample bf16); measures whether XLA conv3d
+# MXU util at /4 beats the sparse conv3 levers
+step bench-b8-dtail-conv3 env PCDET_DENSE_TAIL=conv3 \
+    python scripts/bench_models.py --models second --batch_size 8
 
 # 5. PointPillar batch scaling with the batched NMS (bench.py: full raw-scan
 # path incl. on-device voxelize; bench_models rows: recorded to

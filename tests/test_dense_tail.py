@@ -43,7 +43,7 @@ def _backbone(tail, **kw):
                       dense_tail=tail, **kw)
 
 
-@pytest.mark.parametrize('tail', ['subm', 'full'])
+@pytest.mark.parametrize('tail', ['subm', 'full', 'conv3'])
 def test_backbone8x_dense_tail_parity(tail):
     import jax
     rng = np.random.RandomState(0)
@@ -117,6 +117,13 @@ def test_unetv2_dense_tail_parity():
     bev_ref, ret_ref = ref_m.apply(var, level, False)
     bev, ret = UNetV2(sparse_shape=(25, 16, 16), level_caps=CAPS,
                       dense_tail='subm').apply(var, level, False)
+    bev3, ret3 = UNetV2(sparse_shape=(25, 16, 16), level_caps=CAPS,
+                        dense_tail='conv3').apply(var, level, False)
+    np.testing.assert_allclose(np.asarray(bev3), np.asarray(bev_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ret3['seg_features']),
+                               np.asarray(ret_ref['seg_features']),
+                               rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(bev), np.asarray(bev_ref),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(ret['u_seg_preds']),
