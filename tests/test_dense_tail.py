@@ -165,3 +165,65 @@ def test_env_override(monkeypatch):
     np.testing.assert_allclose(np.asarray(bev_on), np.asarray(bev_ref),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(bev_off), np.asarray(bev_ref))
+
+
+@pytest.mark.parametrize('seed', range(4))
+def test_dense_ops_fuzz_random_geometry(seed):
+    """ops/dense.py conv3d + dilate_occ vs the sparse library on random
+    kernels/strides/paddings — the backbone tests pin only the fixed
+    conv3/conv4/conv_out geometries; this guards the helpers themselves."""
+    import jax.numpy as jnp
+    from pcdet_tpu.ops import dense as dense_ops
+    from pcdet_tpu.ops import sparse
+    rng = np.random.RandomState(100 + seed)
+    shape = tuple(int(x) for x in rng.randint(6, 14, size=3))
+    level = _batched_level(rng, shape=shape, n_active=60, cap=96, cin=3,
+                           batch=2)
+    grid = dense_ops.from_level(level)
+    np.testing.assert_array_equal(
+        np.asarray(grid.occ.reshape(2, -1).sum(axis=1)),
+        np.asarray(level.mask.sum(axis=1)))
+
+    # subm: dense conv + input occupancy == sparse subm at active sites
+    kernel = tuple(int(k) for k in rng.choice([1, 3], size=3))
+    cout = 5
+    w = jnp.asarray(rng.randn(int(np.prod(kernel)), 3, cout)
+                    .astype(np.float32) * 0.2)
+    out_s = sparse.subm_conv3d_batched(level, w, kernel=kernel)
+    y = dense_ops.conv3d(grid.grid, w, kernel,
+                         padding=tuple(k // 2 for k in kernel))
+    got = dense_ops.gather_level(
+        dense_ops.DenseGrid(y, grid.occ), level._replace(
+            features=jnp.zeros(level.features.shape[:2] + (cout,))))
+    np.testing.assert_allclose(np.asarray(got.features),
+                               np.asarray(out_s.features),
+                               rtol=1e-4, atol=1e-5)
+
+    # strided: dense conv + dilated occupancy == sparse strided conv
+    stride = tuple(int(s) for s in rng.randint(1, 3, size=3))
+    padding = tuple(int(p) for p in rng.randint(0, 2, size=3))
+    kernel = (3, 3, 3)
+    if any((shape[i] + 2 * padding[i] - 3) // stride[i] + 1 <= 0
+           for i in range(3)):
+        pytest.skip('degenerate out shape')
+    w = jnp.asarray(rng.randn(27, 3, cout).astype(np.float32) * 0.2)
+    out_s = sparse.sparse_conv3d_batched(level, w, kernel=kernel,
+                                         stride=stride, padding=padding,
+                                         out_cap=4096)
+    assert int(np.asarray(out_s.overflow).max()) == 0
+    y = dense_ops.conv3d(grid.grid, w, kernel, stride, padding)
+    occ_out = dense_ops.dilate_occ(grid.occ, kernel, stride, padding)
+    # occupancy must be exactly the sparse out-set
+    occ_ref = np.zeros(occ_out.shape, bool).reshape(2, -1)
+    ids = np.asarray(out_s.ids)
+    msk = np.asarray(out_s.mask)
+    for b in range(2):
+        occ_ref[b, ids[b][msk[b]]] = True
+    np.testing.assert_array_equal(np.asarray(occ_out).reshape(2, -1),
+                                  occ_ref)
+    got = dense_ops.gather_level(
+        dense_ops.DenseGrid(y, occ_out), out_s._replace(
+            features=jnp.zeros(out_s.features.shape[:2] + (cout,))))
+    np.testing.assert_allclose(np.asarray(got.features),
+                               np.asarray(out_s.features),
+                               rtol=1e-4, atol=1e-5)
