@@ -26,8 +26,10 @@ TV = int(os.environ.get('PCDET_GATHER_TV', '64'))   # output rows per program
 INTERPRET = False   # tests set True to run kernels in interpret mode on CPU
 
 
-def _tile_live(n_live, n_tiles):
-    """(n_tiles, 1) int32 flags: tile t is live iff its first row < n_live.
+class _LiveFlag:
+    """Stands in for a per-tile live flag: `[0, 0]` computes
+    `tile_first_row < n_live` from the grid position and the (1, 1) SMEM
+    live-count scalar.
 
     Live rows of every SparseLevel are a sorted PREFIX (ids ascend with
     INT_MAX padding, out-sets keep smallest ids on truncation), and rows
@@ -35,9 +37,22 @@ def _tile_live(n_live, n_tiles):
     a dead tile's output is exactly zeros — the gated kernels skip its
     loads/dots and store zeros instead.  Caps run 1.3-1.9x typical
     occupancy (measure_occupancy.py), so the skip is a real fraction of
-    kernel time at production shapes."""
-    idx = jnp.arange(n_tiles, dtype=jnp.int32)[:, None] * TV
-    return (idx < jnp.asarray(n_live, jnp.int32)).astype(jnp.int32)
+    kernel time at production shapes.
+
+    Why arithmetic instead of a precomputed (n_tiles, 1) flag column: the
+    TPU lowering requires a block's last two dims to divide (8, 128) or
+    equal the array dims, so a (1, 1) block over (n_tiles, 1) SMEM — the
+    round-3 design, interpret-mode tested only — fails to lower on real
+    hardware.  A (1, 1) scalar whose block IS the whole array lowers fine.
+    """
+
+    def __init__(self, count_ref, tile_axis):
+        self._ref = count_ref
+        self._axis = tile_axis
+
+    def __getitem__(self, idx):
+        first_row = pl.program_id(self._axis) * TV
+        return (first_row < self._ref[0, 0]).astype(jnp.int32)
 
 
 class _AlwaysLive:
@@ -56,17 +71,27 @@ def _ungated(kernel_fn):
     return functools.partial(kernel_fn, _AlwaysLive())
 
 
-def _gate_args(n_live, n_tiles, index_map):
+def _gate_args(n_live, n_tiles, tile_axis=0):
     """(kern_adapter, extra inputs, extra in_specs) for a wrapper: gating
-    inserts the (n_tiles, 1) SMEM flag column as the first input."""
+    inserts the (1, 1) SMEM live-count scalar as the first input; the
+    kernel's live_ref[0, 0] is this tile's occupancy flag (see _LiveFlag).
+    tile_axis: which grid axis walks the output tiles."""
+    del n_tiles
     if n_live is None:
         return _ungated, [], []
-    spec = pl.BlockSpec((1, 1), index_map, memory_space=pltpu.SMEM)
-    return (lambda k: k), [_tile_live(n_live, n_tiles)], [spec]
+    spec = pl.BlockSpec((1, 1), lambda *_: (0, 0), memory_space=pltpu.SMEM)
+    count = jnp.asarray(n_live, jnp.int32).reshape(1, 1)
+
+    def adapt(kernel_fn):
+        def wrapped(count_ref, *args):
+            return kernel_fn(_LiveFlag(count_ref, tile_axis), *args)
+        return wrapped
+
+    return adapt, [count], [spec]
 
 
 def _kernel(live_ref, rules_ref, feats_ref, w_ref, out_ref, g_scratch):
-    # live_ref: (1, 1) int32 SMEM tile-occupancy flag (see _tile_live);
+    # live_ref: this tile's occupancy flag at [0, 0] (see _LiveFlag);
     # rules_ref: (TV, K) int32 in SMEM; feats_ref: (V+1, Cin) VMEM;
     # w_ref: (K, Cin, Cout) VMEM; out_ref: (TV, Cout); g_scratch: (TV, Cin).
     # feats/weights may be bfloat16 (halves the VMEM streaming that
@@ -253,8 +278,7 @@ def _gather_matmul_xwin_call(feats, base, sel, weights_grouped, n_live=None):
         base = jnp.pad(base, ((0, pad), (0, 0)))
         sel = jnp.pad(sel, ((0, pad), (0, 0)), constant_values=0x3f)
     n_tiles = base.shape[0] // TV
-    adapt, gate_in, gate_specs = _gate_args(n_live, n_tiles,
-                                            lambda i: (i, 0))
+    adapt, gate_in, gate_specs = _gate_args(n_live, n_tiles)
     out = pl.pallas_call(
         adapt(_kernel_xwin_packed if packed else _kernel_xwin),
         out_shape=jax.ShapeDtypeStruct((base.shape[0], cout), jnp.float32),
@@ -433,7 +457,7 @@ def _gather_matmul_xwin_super_call(feats, base, sel, weights_grouped,
     n_tiles = base.shape[0] // TV
     cpt = TV // SUPER_R                         # chunks per tile
     adapt, gate_in, gate_specs = _gate_args(
-        vp if n_live is None else n_live, n_tiles, lambda i: (i, 0))
+        vp if n_live is None else n_live, n_tiles)
     c3 = weights_grouped.shape[-2]              # 3*Cin (or 3*Cin/2 packed)
     out = pl.pallas_call(
         adapt(_kernel_xwin_super),
@@ -516,7 +540,7 @@ def gather_dw_xwin_super(features, base, sel, g, n_live=None):
     n_tiles = base.shape[0] // TV
     cpt = TV // SUPER_R
     adapt, gate_in, gate_specs = _gate_args(
-        vp if n_live is None else n_live, n_tiles, lambda i: (i, 0))
+        vp if n_live is None else n_live, n_tiles)
     out = pl.pallas_call(
         adapt(_dw_kernel_xwin_super),
         out_shape=jax.ShapeDtypeStruct((3 * n_groups, cin, cout),
@@ -585,8 +609,7 @@ def _gather_matmul_packed_call(feats_packed, rules, weights_split,
         rules = jnp.pad(rules, ((0, pad), (0, 0)),
                         constant_values=feats_packed.shape[0] - 1)
     n_tiles = rules.shape[0] // TV
-    adapt, gate_in, gate_specs = _gate_args(n_live, n_tiles,
-                                            lambda i: (i, 0))
+    adapt, gate_in, gate_specs = _gate_args(n_live, n_tiles)
     out = pl.pallas_call(
         adapt(_kernel_packed),
         out_shape=jax.ShapeDtypeStruct((rules.shape[0], cout), jnp.float32),
@@ -628,8 +651,7 @@ def _gather_matmul_fwd_only(features, rules, weights, n_live=None):
                         constant_values=features.shape[0] - 1)
     vp = rules.shape[0]
     n_tiles = vp // TV
-    adapt, gate_in, gate_specs = _gate_args(n_live, n_tiles,
-                                            lambda i: (i, 0))
+    adapt, gate_in, gate_specs = _gate_args(n_live, n_tiles)
 
     out = pl.pallas_call(
         adapt(_kernel),
@@ -775,8 +797,7 @@ def gather_dw_xwin(features, base, sel, g, n_live=None):
         sel = jnp.pad(sel, ((0, pad), (0, 0)), constant_values=0x3f)
         g = jnp.pad(g, ((0, pad), (0, 0)))
     n_tiles = base.shape[0] // TV
-    adapt, gate_in, gate_specs = _gate_args(n_live, n_tiles,
-                                            lambda i: (i, 0))
+    adapt, gate_in, gate_specs = _gate_args(n_live, n_tiles)
     out = pl.pallas_call(
         adapt(_dw_kernel_xwin),
         out_shape=jax.ShapeDtypeStruct((3 * n_groups, cin, cout),
@@ -818,8 +839,7 @@ def gather_dw(features, rules, g, n_live=None):
         g = jnp.pad(g, ((0, pad), (0, 0)))
     vp = rules.shape[0]
     n_tiles = vp // TV
-    adapt, gate_in, gate_specs = _gate_args(n_live, n_tiles,
-                                            lambda kk, i: (i, 0))
+    adapt, gate_in, gate_specs = _gate_args(n_live, n_tiles, tile_axis=1)
 
     out = pl.pallas_call(
         adapt(_dw_kernel),
@@ -859,7 +879,7 @@ def _gm_any(features, rules, weights, packed=False, kw3=False, n_live=None):
     block load per (dz, dy) tap group instead of 3 row loads).
 
     n_live: optional scalar count of live output rows (a prefix — see
-    _tile_live); tiles past it skip their loads/dots on TPU."""
+    _LiveFlag); tiles past it skip their loads/dots on TPU."""
     if jax.default_backend() != 'cpu':
         if kw3 and rules.shape[1] % 3 == 0:
             from ..sparse import _xwin_selectors

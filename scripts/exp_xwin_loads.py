@@ -103,20 +103,27 @@ def main():
             gg.group_weights_x_packed(
                 w.astype(jnp.bfloat16).astype(jnp.float32)))),
     }
+    # fault isolation: one variant failing to lower (round 4: the gated
+    # superwindow's SMEM block spec) must not kill the others' numbers or
+    # the chip queue's xwin numerics gate.
     outs = {}
     for name, fn in variants.items():
-        outs[name] = np.asarray(jax.device_get(fn()))
+        try:
+            outs[name] = np.asarray(jax.device_get(fn()))
+        except Exception as e:
+            print('VARIANT FAILED %-14s: %s'
+                  % (name, str(e).splitlines()[0][:160]))
     scale = np.abs(outs['f32 rows']).max()
-    print('f32  xwin vs rows max rel err:',
-          np.abs(outs['f32 xwin'] - outs['f32 rows']).max() / scale)
-    print('pack xwin vs pack rows   err:',
-          np.abs(outs['packed xwin'] - outs['packed rows']).max() / scale)
-    print('pack rows vs f32 rows    err:',
-          np.abs(outs['packed rows'] - outs['f32 rows']).max() / scale)
-    print('f32  super vs rows       err:',
-          np.abs(outs['f32 super'] - outs['f32 rows']).max() / scale)
-    print('pack super vs pack rows  err:',
-          np.abs(outs['packed super'] - outs['packed rows']).max() / scale)
+
+    def err(label, a, b):
+        if a in outs and b in outs:
+            print(label, np.abs(outs[a] - outs[b]).max() / scale)
+
+    err('f32  xwin vs rows max rel err:', 'f32 xwin', 'f32 rows')
+    err('pack xwin vs pack rows   err:', 'packed xwin', 'packed rows')
+    err('pack rows vs f32 rows    err:', 'packed rows', 'f32 rows')
+    err('f32  super vs rows       err:', 'f32 super', 'f32 rows')
+    err('pack super vs pack rows  err:', 'packed super', 'packed rows')
 
     # timing: B=8 vmapped like the backbone (one kernel grid per sample);
     # gated rows measure the occupancy tile-skip at this book's density
@@ -146,8 +153,12 @@ def main():
                 gg.pack_bf16_pairs(f), *sparse._xwin_selectors(r, n_in),
                 wflp, nl), 'fps')]:
         fn = jax.jit(lambda f, r, one=one: jax.vmap(one)(f, r).sum())
-        t = timed(fn, fps_b if tbl == 'fps' else fp_b, rules_b)
-        print('B%d %-18s %8.2f ms/batch' % (B, name, t))
+        try:
+            t = timed(fn, fps_b if tbl == 'fps' else fp_b, rules_b)
+            print('B%d %-18s %8.2f ms/batch' % (B, name, t))
+        except Exception as e:
+            print('B%d %-18s FAILED: %s'
+                  % (B, name, str(e).splitlines()[0][:160]))
 
     # dW (training backward): per-row xwin vs superwindow
     gup = jnp.asarray(rng.randn(V, C).astype(np.float32) * 0.05)
@@ -164,8 +175,12 @@ def main():
         else:
             tb = fps_b
         fn = jax.jit(lambda f, r, gu, one=one: jax.vmap(one)(f, r, gu).sum())
-        t = timed(fn, tb, rules_b, gup_b)
-        print('B%d %-18s %8.2f ms/batch' % (B, name, t))
+        try:
+            t = timed(fn, tb, rules_b, gup_b)
+            print('B%d %-18s %8.2f ms/batch' % (B, name, t))
+        except Exception as e:
+            print('B%d %-18s FAILED: %s'
+                  % (B, name, str(e).splitlines()[0][:160]))
 
 
 if __name__ == '__main__':

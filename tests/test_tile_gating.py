@@ -1,4 +1,4 @@
-"""Occupancy-gated tile skipping (gather_gemm._tile_live): with `n_live`
+"""Occupancy-gated tile skipping (gather_gemm._LiveFlag): with `n_live`
 passed, every Pallas gather kernel must stay bit-identical to the ungated
 run.  Live rows of a SparseLevel are a sorted PREFIX (ids ascend with
 INT_MAX padding) and rows past the count carry all-miss rules (routed to
