@@ -182,7 +182,10 @@ def _mini_model_cfg(root, which):
     cfg.DATA_CONFIG.DATASET = 'KittiDataset'
     cfg.DATA_CONFIG.DATA_DIR = pp.DATA_CONFIG.DATA_DIR
     cfg.DATA_CONFIG.FOV_POINTS_ONLY = True
-    cfg.DATA_CONFIG.POINT_CLOUD_RANGE = [0, -39.68, -3, 69.12, 39.68, 1]
+    # BEV dims must be /16-divisible: the tiny RPNs run a stride-2 block
+    # whose 2x deconv must concat with the stride-1 branch (the reference
+    # RPN has the same constraint — KITTI grids are chosen /16-even there)
+    cfg.DATA_CONFIG.POINT_CLOUD_RANGE = [0, -40.96, -3, 81.92, 40.96, 1]
     cfg.DATA_CONFIG.VOXEL_GENERATOR.VOXEL_SIZE = [0.32, 0.32, 0.5]
     cfg.DATA_CONFIG.TRAIN.INFO_PATH = pp.DATA_CONFIG.TRAIN.INFO_PATH
     cfg.DATA_CONFIG.TEST.INFO_PATH = pp.DATA_CONFIG.TEST.INFO_PATH
@@ -229,7 +232,10 @@ def test_cli_to_ap_string_parity(mini_kitti, tmp_path, which):
     smoke['DATA_CONFIG'] = _plain(cfg.DATA_CONFIG)
     smoke['MODEL'] = _plain(cfg.MODEL)
     smoke['CLASS_NAMES'] = list(cfg.CLASS_NAMES)
-    smoke['MODEL']['TEST']['SCORE_THRESH'] = 0.01
+    # the focal bias init pins random-init scores at ~sigmoid^-1(0.01);
+    # a 0.01 threshold can knife-edge to zero detections (SECOND did) —
+    # parity is vs the CLI's own saved detections, so any floor works
+    smoke['MODEL']['TEST']['SCORE_THRESH'] = 0.001
     # the CLI resolves DATA_DIR / INFO_PATH against its own ROOT_DIR (the
     # repo); absolute paths pass through os.path.join untouched
     smoke['DATA_CONFIG']['DATA_DIR'] = root
