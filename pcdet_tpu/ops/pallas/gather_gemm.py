@@ -315,6 +315,18 @@ SUPER = os.environ.get('PCDET_XWIN_SUPER', '') == '1'
 SUPER_R = int(os.environ.get('PCDET_XWIN_SUPER_R', '8'))  # must divide TV
 SUPER_W = 8                    # window rows per covered-chunk load
 
+# Kernel-choice policy, decided by the 2026-08-18 on-chip A/B
+# (CHIP_QUEUE_LOG.txt): per-row packed gather beats the x-window variants
+# for the forward/dX gather-GEMMs both on the conv2-density microbench
+# (33.6 vs 57.4 ms/B8) and e2e (SECOND B8 eval 19.05 vs 14.48 fps), while
+# the dW backward is FASTER with x-window block loads (train 6.67 vs
+# 5.72 fps rows-everywhere) — its k-major per-row grid re-reads the table
+# once per tap.  So the defaults split by direction; both stay
+# env-flippable for future sweeps (and PCDET_DISABLE_XWIN still kills
+# every x-window path at the rulebook layer).
+XWIN_FWD = os.environ.get('PCDET_XWIN_FWD', '0') == '1'
+XWIN_DW = os.environ.get('PCDET_XWIN_DW', '1') == '1'
+
 
 def superwindow_desc(base, sel, r):
     """Per-chunk descriptors for the superwindow kernel.
@@ -881,7 +893,7 @@ def _gm_any(features, rules, weights, packed=False, kw3=False, n_live=None):
     n_live: optional scalar count of live output rows (a prefix — see
     _LiveFlag); tiles past it skip their loads/dots on TPU."""
     if jax.default_backend() != 'cpu':
-        if kw3 and rules.shape[1] % 3 == 0:
+        if kw3 and rules.shape[1] % 3 == 0 and (XWIN_FWD or SUPER):
             from ..sparse import _xwin_selectors
             base, sel = _xwin_selectors(rules, features.shape[0] - 1)
             use_packed = packed and features.shape[1] % 2 == 0
@@ -927,7 +939,7 @@ def _gm_any(features, rules, weights, packed=False, kw3=False, n_live=None):
 
 def _dw_any(features, rules, g, kw3=False, n_live=None):
     if jax.default_backend() != 'cpu':
-        if kw3 and rules.shape[1] % 3 == 0:
+        if kw3 and rules.shape[1] % 3 == 0 and XWIN_DW:
             from ..sparse import _xwin_selectors
             base, sel = _xwin_selectors(rules, features.shape[0] - 1)
             if SUPER:

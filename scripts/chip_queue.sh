@@ -17,13 +17,18 @@ step() {
 }
 
 commit_artifacts() {
-  git add -A CHIP_QUEUE_LOG.txt BENCH_MODELS.json ROOFLINE.json \
-      PROFILE_EVAL_STAGES.json 2>/dev/null
+  # only name files that exist: one missing pathspec (e.g. ROOFLINE.json
+  # before the roofline step) aborts the whole add AND the commit
+  local files=()
+  for f in CHIP_QUEUE_LOG.txt BENCH_MODELS.json ROOFLINE.json \
+           PROFILE_EVAL_STAGES.json; do
+    [ -f "$f" ] && files+=("$f")
+  done
+  git add -- "${files[@]}" 2>/dev/null
   git -c user.name="$(git config user.name || echo chip-queue)" \
       -c user.email="$(git config user.email || echo chip-queue@local)" \
       commit -m "Chip queue: measurement artifacts ($1)" \
-      --only CHIP_QUEUE_LOG.txt BENCH_MODELS.json ROOFLINE.json \
-      PROFILE_EVAL_STAGES.json 2>&1 | tail -1 | tee -a $LOG
+      --only -- "${files[@]}" 2>&1 | tail -1 | tee -a $LOG
 }
 
 # 0. tiny-shape lowering + numerics smoke of EVERY Pallas kernel path.

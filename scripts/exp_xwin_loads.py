@@ -15,6 +15,9 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', str(ROOT / '.jax_cache'))
+# this experiment times rows vs xwin side by side via kw3; keep kw3=True
+# meaning xwin under the rows-by-default fwd policy (gather_gemm.XWIN_FWD)
+os.environ.setdefault('PCDET_XWIN_FWD', '1')
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
 
 import jax
