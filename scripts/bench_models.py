@@ -140,6 +140,9 @@ def main():
     ap.add_argument('--batch_size', type=int, default=0,
                     help='override eval/train batch; metric names get a '
                          '_b{N} suffix so BENCH_MODELS keeps all points')
+    ap.add_argument('--eval_only', action='store_true',
+                    help='skip the train rows (A/B passes that only probe '
+                         'the eval step save a full train compile each)')
     args = ap.parse_args()
     import jax
     print('backend:', jax.default_backend(), file=sys.stderr)
@@ -158,6 +161,8 @@ def main():
             json.dump(list(merged.values()), f, indent=1)
 
     def run(fn, *a, **kw):
+        if args.eval_only and fn is bench_train:
+            return
         if args.batch_size:
             kw['batch_size'] = args.batch_size
         t0 = time.perf_counter()
