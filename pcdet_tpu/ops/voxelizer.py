@@ -153,9 +153,18 @@ def voxelize_jnp(points, point_mask, voxel_size, point_cloud_range,
     big = nx * ny * nz
     lin = jnp.where(in_range, lin, big)
 
-    # sort points by voxel id (stable keeps original point order in each voxel)
-    sort_idx = jnp.argsort(lin, stable=True)
-    lin_s = lin[sort_idx]
+    # sort points by voxel id (stable keeps original point order in each
+    # voxel).  The payload — original index + every point column — rides in
+    # ONE variadic lax.sort instead of argsort + post-hoc gathers: on a v5e
+    # the three (P,)-sized gathers cost ~10 ms/batch at P=65536 while the
+    # payload-carrying sort costs ~3 ms (scripts/exp_voxelize_cost.py), so
+    # this is a ~3x cut on the on-device voxelize stage of the detect path.
+    sorted_ops = jax.lax.sort(
+        (lin, jnp.arange(p, dtype=jnp.int32))
+        + tuple(points[:, c] for c in range(points.shape[1])),
+        num_keys=1, is_stable=True)
+    lin_s, sort_idx = sorted_ops[0], sorted_ops[1]
+    pts_s = jnp.stack(sorted_ops[2:], axis=1)
     valid_s = lin_s < big
 
     first = jnp.concatenate([valid_s[:1],
@@ -169,7 +178,6 @@ def voxelize_jnp(points, point_mask, voxel_size, point_cloud_range,
     v_safe = jnp.where(ok, voxel_rank, max_voxels)
     s_safe = jnp.where(ok, slot, 0)
 
-    pts_s = points[sort_idx]
     voxels = jnp.zeros((max_voxels, max_num_points, points.shape[1]),
                        dtype=points.dtype)
     voxels = voxels.at[v_safe, s_safe].set(pts_s, mode='drop')
@@ -181,7 +189,10 @@ def voxelize_jnp(points, point_mask, voxel_size, point_cloud_range,
     num_points = jnp.zeros(max_voxels, dtype=jnp.int32)
     num_points = num_points.at[v_safe].add(ok.astype(jnp.int32), mode='drop')
 
-    coords_s = coords[sort_idx]
+    # recompute cell coords from the sorted points (same floor formula on the
+    # same f32 values -> bit-identical to gathering coords[sort_idx])
+    coords_s = jnp.floor((pts_s[:, :3] - pc_range[:3]) / voxel_size
+                         ).astype(jnp.int32)
     coord_rows = jnp.full((max_voxels, 3), -1, dtype=jnp.int32)
     zyx = jnp.stack([coords_s[:, 2], coords_s[:, 1], coords_s[:, 0]], axis=1)
     first_ok = first & (voxel_rank < max_voxels)
