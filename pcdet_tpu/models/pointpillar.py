@@ -44,9 +44,17 @@ class PointPillarNet(nn.Module):
             voxel_size=tuple(self.voxel_size),
             pc_range=tuple(self.pc_range),
             name='vfe')(voxels, num_points, coords, voxel_mask, train)
+        a = self.rpn_args
+        # eval-only bf16 BEV canvas: RPNV2 casts its input to bf16 anyway
+        # when compute_dtype_test is set, and a scatter doesn't change
+        # values, so casting BEFORE the scatter is bit-identical to the
+        # current eval path while halving the canvas write+read — the
+        # dominant byte stream of the HBM-bound (86%) PointPillar eval step
+        # (ROOFLINE.json).
+        if (not train) and str(a.get('compute_dtype_test', '')) == 'bfloat16':
+            features = features.astype(jnp.bfloat16)
         canvas = pillar_scatter(features, coords, voxel_mask,
                                 self.grid_ny, self.grid_nx)
-        a = self.rpn_args
         ret = RPNV2(
             num_class=self.num_class,
             num_anchors_per_location=self.num_anchors_per_location,
