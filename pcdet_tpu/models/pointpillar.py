@@ -50,8 +50,12 @@ class PointPillarNet(nn.Module):
         # values, so casting BEFORE the scatter is bit-identical to the
         # current eval path while halving the canvas write+read — the
         # dominant byte stream of the HBM-bound (86%) PointPillar eval step
-        # (ROOFLINE.json).
-        if (not train) and str(a.get('compute_dtype_test', '')) == 'bfloat16':
+        # (ROOFLINE.json).  Caveat (ADVICE r4): with concat_input=True RPNV2
+        # appends the RAW canvas to the FPN concat (previously f32 even under
+        # compute_dtype_test), so the cast would change spatial_features_last
+        # there — skip it in that config (no shipped config sets it).
+        if ((not train) and str(a.get('compute_dtype_test', '')) == 'bfloat16'
+                and not a.get('concat_input', False)):
             features = features.astype(jnp.bfloat16)
         canvas = pillar_scatter(features, coords, voxel_mask,
                                 self.grid_ny, self.grid_nx)

@@ -20,6 +20,9 @@ commit_artifacts() {
            PROFILE_EVAL_STAGES.json; do
     [ -f "$f" ] && files+=("$f")
   done
+  # Empty array under set -u errors on bash<4.4, and `git commit --only`
+  # with no pathspec falls back to whatever is staged (ADVICE r4).
+  [ ${#files[@]} -eq 0 ] && return 0
   git add -- "${files[@]}" 2>/dev/null
   git commit -m "Chip queue r4b: measurement artifacts ($1)" \
       --only -- "${files[@]}" 2>&1 | tail -1 | tee -a $LOG

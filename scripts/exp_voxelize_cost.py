@@ -69,13 +69,17 @@ def main():
             return jax.lax.sort(ops, num_keys=1)
         return jax.vmap(one)(lin, p)
 
-    def f_gathers(p, m):
-        # model the three gathers with a fixed permutation
-        idx = jnp.arange(P, dtype=jnp.int32)[::-1]
-        def one(pp):
+    # host-generated random permutation: a data-dependent gather XLA cannot
+    # specialize (a reversed iota lowers to a cheap reverse — ADVICE r4)
+    perm_np = np.stack([np.random.RandomState(7 + b).permutation(P)
+                        for b in range(pts_j.shape[0])]).astype(np.int32)
+    perm_j = jnp.asarray(perm_np)
+
+    def f_gathers(p, m, idx=perm_j):
+        def one(pp, ii):
             lin = jnp.arange(P, dtype=jnp.int32)
-            return pp[idx], lin[idx], pp[idx, :3]
-        return jax.vmap(one)(p)
+            return pp[ii], lin[ii], pp[ii, :3]
+        return jax.vmap(one)(p, idx)
 
     def f_e2e(p, m):
         return jax.vmap(lambda a, b: voxelize_jnp(
