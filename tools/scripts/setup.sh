@@ -10,6 +10,34 @@
 set -eu
 cd "$(dirname "$0")/../.."
 
+# environment drift check against the pinned stack the benchmarks were
+# measured on (tools/scripts/environment.txt — the TPU-side equivalent of
+# the reference's docker/Dockerfile).  Warn-only: newer stacks usually
+# work, but Pallas lowering rules change between jaxlib releases (the
+# round-4 Mosaic block-shape break), so perf/parity claims hold at pins.
+python - <<'EOF'
+import importlib.metadata as md
+import re
+from pathlib import Path
+
+pins = {}
+for line in Path('tools/scripts/environment.txt').read_text().splitlines():
+    line = line.split('#')[0].strip()
+    m = re.match(r'([A-Za-z0-9_.-]+)==(.+)', line)
+    if m and m.group(1) != 'python':
+        pins[m.group(1)] = m.group(2).strip()
+for name, want in pins.items():
+    try:
+        got = md.version(name)
+    except md.PackageNotFoundError:
+        print(f'WARNING: {name} not installed (pinned {want})')
+        continue
+    if got.split('+')[0] != want:
+        print(f'WARNING: {name}=={got} differs from pinned {want} '
+              '(bench numbers were measured at the pin)')
+print('environment check done')
+EOF
+
 # editable install (replaces the reference's `python setup.py develop` +
 # CUDA extension build; our native ops compile on first import)
 python -m pip install -e . --no-deps 2>/dev/null || \
