@@ -185,6 +185,10 @@ def main():
         tv = os.environ.get('PCDET_GATHER_TV', '')
         if tv and tv != '64':
             r['metric'] += '_tv%s' % tv
+        if os.environ.get('PCDET_GATHER_SEG'):
+            r['metric'] += '_seg'
+        if os.environ.get('PCDET_GATHER_SEG_DW'):
+            r['metric'] += '_segdw'
         dtail = os.environ.get('PCDET_DENSE_TAIL', '')
         if dtail and dtail != 'off':
             r['metric'] += '_dtail_%s' % dtail

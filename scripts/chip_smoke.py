@@ -124,6 +124,34 @@ def main():
           jax.jit(lambda: gg._gather_matmul_xwin_super_call(
               gg.pack_bf16_pairs(fp_s), base, sel, wflp, nl)), expect, 5e-2)
 
+    # segment kernel (round 5): one (S, Cin) block load + one-hot MXU
+    # routing per (tile, group).  The small-S pass forces the per-row
+    # FALLBACK branch to lower on device too (its code path differs).
+    wfe = gg.group_weights_x_eo(w.astype(jnp.bfloat16).astype(jnp.float32))
+    fp_g = jnp.concatenate([fp, jnp.zeros((gg.SEG_S - 1, C))], axis=0)
+    check('seg f32',
+          jax.jit(lambda: gg._gather_matmul_seg_call(fp_g, base, sel, wfl)),
+          expect, 1e-4)
+    check('seg f32 gated',
+          jax.jit(lambda: gg._gather_matmul_seg_call(fp_g, base, sel, wfl,
+                                                     nl)), expect, 1e-4)
+    check('seg packed gated',
+          jax.jit(lambda: gg._gather_matmul_seg_call(
+              gg.pack_bf16_pairs(fp_g), base, sel, wfe, nl)), expect, 5e-2)
+    seg_s_orig = gg.SEG_S
+    gg.SEG_S = 16
+    try:
+        fp_g16 = jnp.concatenate([fp, jnp.zeros((15, C))], axis=0)
+        check('seg f32 smallS fallback',
+              jax.jit(lambda: gg._gather_matmul_seg_call(
+                  fp_g16, base, sel, wfl, nl)), expect, 1e-4)
+        check('seg packed smallS fallback',
+              jax.jit(lambda: gg._gather_matmul_seg_call(
+                  gg.pack_bf16_pairs(fp_g16), base, sel, wfe, nl)),
+              expect, 5e-2)
+    finally:
+        gg.SEG_S = seg_s_orig
+
     # dW kernels (k-major grid gates on tile axis 1)
     gup = jnp.asarray(rng.randn(V, COUT).astype(np.float32) * 0.1)
     expect_dw = np.einsum('vc,vd->cd', fp_h[rules_h][:, 0, :],
@@ -143,6 +171,15 @@ def main():
           jax.jit(lambda: gg.gather_dw_xwin(fp2, base, sel, gup, nl)))
     check('dw super gated',
           jax.jit(lambda: gg.gather_dw_xwin_super(fp_s, base, sel, gup, nl)))
+    check('dw seg gated',
+          jax.jit(lambda: gg.gather_dw_seg(fp_g, base, sel, gup, nl)))
+    gg.SEG_S = 16
+    try:
+        fp_g16b = jnp.concatenate([fp, jnp.zeros((15, C))], axis=0)
+        check('dw seg smallS fallback',
+              jax.jit(lambda: gg.gather_dw_seg(fp_g16b, base, sel, gup, nl)))
+    finally:
+        gg.SEG_S = seg_s_orig
 
     # autodiff through the subm custom-vjp (mirror book backward)
     rules_m = rules[:, ::-1]

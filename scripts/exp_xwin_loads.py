@@ -84,6 +84,8 @@ def main():
     base, sel = sparse._xwin_selectors(rules, n_in)
     fp_s = jnp.concatenate(
         [fp, jnp.zeros((gg.SUPER_W - 1, C), jnp.float32)], axis=0)
+    fp_g = jnp.concatenate(
+        [fp, jnp.zeros((gg.SEG_S - 1, C), jnp.float32)], axis=0)
     n_act = int(np.asarray(lv.mask).sum())
     pad = (-V) % gg.TV
     cb, okc, _ = gg.superwindow_desc(
@@ -92,6 +94,12 @@ def main():
     print('super: TV=%d R=%d chunks coverable %.1f%% (act %d/%d)'
           % (gg.TV, gg.SUPER_R, 100 * float(np.asarray(okc).mean()),
              n_act, V))
+    _, oks, _ = gg.segment_desc(
+        jnp.pad(base, ((0, pad), (0, 0))),
+        jnp.pad(sel, ((0, pad), (0, 0)), constant_values=0x3f),
+        gg.TV, gg.SEG_S)
+    print('seg: TV=%d S=%d tile-groups covered %.1f%%'
+          % (gg.TV, gg.SEG_S, 100 * float(np.asarray(oks).mean())))
 
     variants = {
         'f32 rows': jax.jit(lambda: gg._gather_matmul_fwd_only(
@@ -104,6 +112,12 @@ def main():
         'packed super': jax.jit(lambda: gg._gather_matmul_xwin_super_call(
             gg.pack_bf16_pairs(fp_s), base, sel,
             gg.group_weights_x_packed(
+                w.astype(jnp.bfloat16).astype(jnp.float32)))),
+        'f32 seg': jax.jit(lambda: gg._gather_matmul_seg_call(
+            fp_g, base, sel, gg.group_weights_x(w))),
+        'packed seg': jax.jit(lambda: gg._gather_matmul_seg_call(
+            gg.pack_bf16_pairs(fp_g), base, sel,
+            gg.group_weights_x_eo(
                 w.astype(jnp.bfloat16).astype(jnp.float32)))),
     }
     # fault isolation: one variant failing to lower (round 4: the gated
@@ -127,6 +141,8 @@ def main():
     err('pack rows vs f32 rows    err:', 'packed rows', 'f32 rows')
     err('f32  super vs rows       err:', 'f32 super', 'f32 rows')
     err('pack super vs pack rows  err:', 'packed super', 'packed rows')
+    err('f32  seg vs rows         err:', 'f32 seg', 'f32 rows')
+    err('pack seg vs pack rows    err:', 'packed seg', 'packed rows')
 
     # timing: B=8 vmapped like the backbone (one kernel grid per sample);
     # gated rows measure the occupancy tile-skip at this book's density
@@ -137,6 +153,8 @@ def main():
     wfl = gg.group_weights_x(w)
     wflp = gg.group_weights_x_packed(w.astype(jnp.bfloat16).astype(
         jnp.float32))
+    wfle = gg.group_weights_x_eo(w.astype(jnp.bfloat16).astype(jnp.float32))
+    fpg_b = jnp.broadcast_to(fp_g[None], (B,) + fp_g.shape)
     for name, one, tbl in [
             ('f32 rows', lambda f, r: gg._gather_matmul_fwd_only(f, r, w),
              'fp'),
@@ -154,10 +172,16 @@ def main():
                 f, *sparse._xwin_selectors(r, n_in), wfl, nl), 'fps'),
             ('packed super', lambda f, r: gg._gather_matmul_xwin_super_call(
                 gg.pack_bf16_pairs(f), *sparse._xwin_selectors(r, n_in),
-                wflp, nl), 'fps')]:
+                wflp, nl), 'fps'),
+            ('f32 seg', lambda f, r: gg._gather_matmul_seg_call(
+                f, *sparse._xwin_selectors(r, n_in), wfl, nl), 'fpg'),
+            ('packed seg', lambda f, r: gg._gather_matmul_seg_call(
+                gg.pack_bf16_pairs(f), *sparse._xwin_selectors(r, n_in),
+                wfle, nl), 'fpg')]:
         fn = jax.jit(lambda f, r, one=one: jax.vmap(one)(f, r).sum())
         try:
-            t = timed(fn, fps_b if tbl == 'fps' else fp_b, rules_b)
+            t = timed(fn, {'fps': fps_b, 'fpg': fpg_b}.get(tbl, fp_b),
+                      rules_b)
             print('B%d %-18s %8.2f ms/batch' % (B, name, t))
         except Exception as e:
             print('B%d %-18s FAILED: %s'
@@ -170,11 +194,15 @@ def main():
             ('f32 dw xwin', lambda f, r, gu: gg.gather_dw_xwin(
                 f, *sparse._xwin_selectors(r, n_in), gu, nl), 'fp2'),
             ('f32 dw super', lambda f, r, gu: gg.gather_dw_xwin_super(
-                f, *sparse._xwin_selectors(r, n_in), gu, nl), 'fps')]:
+                f, *sparse._xwin_selectors(r, n_in), gu, nl), 'fps'),
+            ('f32 dw seg', lambda f, r, gu: gg.gather_dw_seg(
+                f, *sparse._xwin_selectors(r, n_in), gu, nl), 'fpg')]:
         if tbl == 'fp2':
             tb = jnp.broadcast_to(
                 jnp.concatenate([fp, jnp.zeros((1, C))], axis=0)[None],
                 (B, V + 2, C))
+        elif tbl == 'fpg':
+            tb = fpg_b
         else:
             tb = fps_b
         fn = jax.jit(lambda f, r, gu, one=one: jax.vmap(one)(f, r, gu).sum())
