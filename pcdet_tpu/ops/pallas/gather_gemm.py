@@ -583,6 +583,287 @@ def gather_dw_xwin_super(features, base, sel, g, n_live=None):
     return out
 
 
+# ---------------------------------------------------------------------------
+# segment variant (round 5): ONE (S, Cin) block load per (tile, tap group)
+#
+# The sorted-id layout makes every tap group's window starts MONOTONE over
+# the tile's TV consecutive output rows, and the spans are tight on LiDAR
+# surfaces: at TV=64, S=256 covers 98.5-99.4% of (tile, group)s on
+# realistic subm books and 98.8-99.3% on strided books
+# (scripts/exp_seg_span.py).  So the whole tile-group gather is ONE dynamic
+# (S, Cin) block load, and rows route to taps by ONE-HOT MXU MATMULS
+# (sp = onehot(offsets) @ window) instead of per-row loads or VPU
+# where-chains: 27 block loads + 36 dots per tile replace 3*TV*9 = 1728
+# row loads — the direct fix for the issue-bound SECOND eval roofline
+# (5.4% MFU / 13.7% HBM, ROOFLINE.json).  One-hot routing is EXACT: 1.0*x
+# and 0.0*x are exact in every MXU pass mode, and the f32 path forces
+# HIGHEST (bf16x3 decomposes f32 exactly).  The ~1% non-coverable
+# tile-groups take the per-row x-window fallback branch.
+# ---------------------------------------------------------------------------
+
+SEG_S = int(os.environ.get('PCDET_SEG_S', '256'))       # segment rows
+SEG_FWD = os.environ.get('PCDET_GATHER_SEG', '0') == '1'
+SEG_DW = os.environ.get('PCDET_GATHER_SEG_DW', '0') == '1'
+_SEG_MISS = 1023                 # 10-bit offset sentinel (selects nothing)
+
+
+def segment_desc(base, sel, tv, s):
+    """Per-(tile, group) descriptors for the segment kernel.
+
+    :param base: (Vp, G) int32 3-row window starts (Vp multiple of tv)
+    :param sel: (Vp, G) int32 packed 2-bit x-offsets (0x3f = all-miss row)
+    :return: anchor (n_tiles, G) int32 segment starts, ok (n_tiles, G)
+        int32 coverability flags (span <= s), seloff (Vp, G) int32 packed
+        10-bit per-tap segment offsets (1023 = miss, selects nothing)
+    """
+    assert s <= _SEG_MISS - 1, s
+    vp, g = base.shape
+    n_tiles = vp // tv
+    b3 = base.reshape(n_tiles, tv, g)
+    s3 = sel.reshape(n_tiles, tv, g)
+    rowmiss = s3 == 0x3f
+    big = jnp.int32(np.iinfo(np.int32).max)
+    lo = jnp.min(jnp.where(rowmiss, big, b3), axis=1)
+    anchor = jnp.where(lo == big, 0, lo).astype(jnp.int32)
+    hi = jnp.max(jnp.where(rowmiss, -1, b3 + 3), axis=1)
+    ok = (hi - anchor) <= s
+    rel = b3 - anchor[:, None, :]
+    parts = []
+    for dx in range(3):
+        tap = (s3 >> (2 * dx)) & 3
+        o = jnp.where(tap == 3, _SEG_MISS, jnp.clip(rel + tap, 0, _SEG_MISS))
+        parts.append(o << (10 * dx))
+    seloff = parts[0] | parts[1] | parts[2]
+    seloff = jnp.where(ok[:, None, :], seloff, 0)   # fallback tiles: unused
+    return (anchor, ok.astype(jnp.int32),
+            seloff.reshape(vp, g).astype(jnp.int32))
+
+
+def _seg_covered_sps(anchor_ref, seloff_all, feats_ref, i, g, tv, prec):
+    """Covered-branch select: (TV, 3*Cin) f32, per tap [even||odd] column
+    order when the table is packed (matching group_weights_x_eo), original
+    channel order when f32 (matching group_weights_x)."""
+    s = SEG_S
+    packed = feats_ref.dtype == jnp.int32
+    win = feats_ref[pl.ds(anchor_ref[i, g], s), :]          # (S, cw)
+    if packed:
+        lo = jax.lax.bitcast_convert_type(win << 16, jnp.float32)
+        hi = jax.lax.bitcast_convert_type(win & jnp.int32(-65536),
+                                          jnp.float32)
+        wcat = jnp.concatenate([lo, hi], axis=1)            # (S, Cin)
+    else:
+        wcat = win
+    offs = seloff_all[:, g:g + 1]                           # (TV, 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tv, s), 1)
+    sps = []
+    for dx in range(3):
+        od = (offs >> (10 * dx)) & _SEG_MISS
+        oh = (od == iota).astype(jnp.float32)               # (TV, S)
+        sps.append(jnp.dot(oh, wcat, preferred_element_type=jnp.float32,
+                           precision=prec))
+    return jnp.concatenate(sps, axis=1)                     # (TV, 3*Cin)
+
+
+def _seg_fallback_sps(base_ref, sel_all, feats_ref, blk, g, tv):
+    """Fallback-branch select (span > S): per-row (3, cw) window loads into
+    `blk` + 2-bit VPU selects — the x-window body.  Returns (TV, 3*Cin) f32
+    in the same column order as the covered branch."""
+    cw = feats_ref.shape[1]
+    packed = feats_ref.dtype == jnp.int32
+    for r in range(tv):                                     # static unroll
+        blk[3 * r:3 * r + 3, :] = feats_ref[pl.ds(base_ref[r, g], 3), :]
+    wv = blk[:].reshape(tv, 3, cw)
+    zero = jnp.zeros((tv, cw), feats_ref.dtype)
+    spx = _xwin_select(wv, sel_all[:, g], zero)             # (TV, 3*cw)
+    if not packed:
+        return spx
+    lo3 = jax.lax.bitcast_convert_type(spx << 16, jnp.float32)
+    hi3 = jax.lax.bitcast_convert_type(spx & jnp.int32(-65536), jnp.float32)
+    parts = []
+    for t in range(3):                  # tap-major -> per-tap [even||odd]
+        parts.append(lo3[:, t * cw:(t + 1) * cw])
+        parts.append(hi3[:, t * cw:(t + 1) * cw])
+    return jnp.concatenate(parts, axis=1)
+
+
+def _kernel_seg(live_ref, anchor_ref, ok_ref, base_ref, sel_ref, seloff_ref,
+                feats_ref, w_ref, out_ref, blk, acc_ref):
+    """anchor/ok: (n_tiles, G) SMEM (block == array — a (1, G) block would
+    violate the Mosaic block-shape rule, see _LiveFlag); base: (TV, G) SMEM
+    (fallback row loads); sel/seloff: (TV, G) VMEM; feats: (V+S, cw) f32 or
+    int32-packed (last S rows zero); w_ref: (G, 3*Cin, Cout) f32
+    (group_weights_x order for f32 tables, group_weights_x_eo for packed);
+    blk: (3*TV, cw) fallback scratch; acc_ref: (TV, Cout) f32 scratch."""
+    i = pl.program_id(0)
+    g_groups = w_ref.shape[0]
+    tv = out_ref.shape[0]
+    packed = feats_ref.dtype == jnp.int32
+    prec = (jax.lax.Precision.DEFAULT if packed
+            else jax.lax.Precision.HIGHEST)
+
+    @pl.when(live_ref[0, 0] != 0)
+    def _():
+        sel_all = sel_ref[:]
+        seloff_all = seloff_ref[:]
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        for g in range(g_groups):               # static unroll
+            @pl.when(ok_ref[i, g] != 0)
+            def _(g=g):
+                sps = _seg_covered_sps(anchor_ref, seloff_all, feats_ref,
+                                       i, g, tv, prec)
+                acc_ref[:] = acc_ref[:] + jnp.dot(
+                    sps, w_ref[g], preferred_element_type=jnp.float32,
+                    precision=prec)
+
+            @pl.when(ok_ref[i, g] == 0)
+            def _(g=g):
+                sps = _seg_fallback_sps(base_ref, sel_all, feats_ref, blk,
+                                        g, tv)
+                acc_ref[:] = acc_ref[:] + jnp.dot(
+                    sps, w_ref[g], preferred_element_type=jnp.float32,
+                    precision=prec)
+        out_ref[:] = acc_ref[:]
+
+    @pl.when(live_ref[0, 0] == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+
+@jax.jit
+def _gather_matmul_seg_call(feats, base, sel, weights_grouped, n_live=None):
+    """feats: (V+SEG_S, cw) f32 or int32-packed (last SEG_S rows zero);
+    base/sel: (V, G) int32; weights_grouped: (G, 3*Cin, Cout) f32 —
+    group_weights_x for f32 tables, group_weights_x_eo for packed."""
+    vp, g = base.shape
+    cout = weights_grouped.shape[-1]
+    pad = (-vp) % TV
+    if pad:
+        base = jnp.pad(base, ((0, pad), (0, 0)))
+        sel = jnp.pad(sel, ((0, pad), (0, 0)), constant_values=0x3f)
+    anchor, ok, seloff = segment_desc(base, sel, TV, SEG_S)
+    n_tiles = base.shape[0] // TV
+    adapt, gate_in, gate_specs = _gate_args(n_live, n_tiles)
+    out = pl.pallas_call(
+        adapt(_kernel_seg),
+        out_shape=jax.ShapeDtypeStruct((base.shape[0], cout), jnp.float32),
+        grid=(n_tiles,),
+        in_specs=gate_specs + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # anchor (full)
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # ok (full)
+            pl.BlockSpec((TV, g), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TV, g), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TV, g), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # feats
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # weights
+        ],
+        out_specs=pl.BlockSpec((TV, cout), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((3 * TV, feats.shape[1]), feats.dtype),
+                        pltpu.VMEM((TV, cout), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(*gate_in, anchor, ok, base, sel, seloff, feats, weights_grouped)
+    return out[:vp]
+
+
+def _dw_kernel_seg(live_ref, anchor_ref, ok_ref, base_ref, sel_ref,
+                   seloff_ref, g_ref, feats_ref, out_ref, blk, spg,
+                   acc_ref):
+    """Segment dW (f32 tables only — training path): same dual-branch
+    select as _kernel_seg, but the (TV, 3*Cin) rows contract against the
+    upstream grads and accumulate across tiles (like _dw_kernel_xwin).
+    g_ref: (TV, Cout); out_ref: (K, Cin, Cout)."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    k_taps, cin, cout = out_ref.shape
+    g_groups = k_taps // 3
+    tv = g_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(live_ref[0, 0] != 0)
+    def _():
+        sel_all = sel_ref[:]
+        seloff_all = seloff_ref[:]
+        gv = g_ref[:]
+        for g in range(g_groups):               # static unroll
+            @pl.when(ok_ref[i, g] != 0)
+            def _(g=g):
+                spg[:] = _seg_covered_sps(anchor_ref, seloff_all, feats_ref,
+                                          i, g, tv,
+                                          jax.lax.Precision.HIGHEST)
+
+            @pl.when(ok_ref[i, g] == 0)
+            def _(g=g):
+                spg[:] = _seg_fallback_sps(base_ref, sel_all, feats_ref,
+                                           blk, g, tv)
+            d = jax.lax.dot_general(spg[:], gv, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.HIGHEST)
+            acc_ref[3 * cin * g:3 * cin * (g + 1), :] = (
+                acc_ref[3 * cin * g:3 * cin * (g + 1), :] + d)
+
+    @pl.when(i == n - 1)
+    def _():
+        out_ref[...] = acc_ref[...].reshape(k_taps, cin, cout)
+
+
+@jax.jit
+def gather_dw_seg(features, base, sel, g, n_live=None):
+    """Segment dW (kw=3 books): features (V+SEG_S, Cin) f32 (last SEG_S
+    rows zero), base/sel (V, G) int32, g (V, Cout) -> (3*G, Cin, Cout)."""
+    vp, n_groups = base.shape
+    cin = features.shape[1]
+    cout = g.shape[1]
+    pad = (-vp) % TV
+    if pad:
+        base = jnp.pad(base, ((0, pad), (0, 0)))
+        sel = jnp.pad(sel, ((0, pad), (0, 0)), constant_values=0x3f)
+        g = jnp.pad(g, ((0, pad), (0, 0)))
+    anchor, ok, seloff = segment_desc(base, sel, TV, SEG_S)
+    n_tiles = base.shape[0] // TV
+    adapt, gate_in, gate_specs = _gate_args(n_live, n_tiles)
+    out = pl.pallas_call(
+        adapt(_dw_kernel_seg),
+        out_shape=jax.ShapeDtypeStruct((3 * n_groups, cin, cout),
+                                       jnp.float32),
+        grid=(n_tiles,),
+        in_specs=gate_specs + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # anchor (full)
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # ok (full)
+            pl.BlockSpec((TV, n_groups), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TV, n_groups), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TV, n_groups), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TV, cout), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # full feature table
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((3 * TV, cin), features.dtype),
+                        pltpu.VMEM((TV, 3 * cin), jnp.float32),
+                        pltpu.VMEM((3 * n_groups * cin, cout), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=INTERPRET,
+    )(*gate_in, anchor, ok, base, sel, seloff, g, features)
+    return out
+
+
+def group_weights_x_eo(w):
+    """(K, Cin, Cout) -> (K//3, 3*Cin, Cout) with each tap's rows reordered
+    [even channels; odd channels] — the packed segment kernel's unpacked
+    window column order ([lo-plane || hi-plane])."""
+    k, cin, cout = w.shape
+    wt = jnp.concatenate([w[:, 0::2, :], w[:, 1::2, :]], axis=1)
+    return wt.reshape(k // 3, 3 * cin, cout)
+
+
 def group_weights_x(w):
     """(K, Cin, Cout) -> (K//3, 3*Cin, Cout): per-group tap-major rows."""
     k, cin, cout = w.shape
@@ -893,6 +1174,21 @@ def _gm_any(features, rules, weights, packed=False, kw3=False, n_live=None):
     n_live: optional scalar count of live output rows (a prefix — see
     _LiveFlag); tiles past it skip their loads/dots on TPU."""
     if jax.default_backend() != 'cpu':
+        if kw3 and rules.shape[1] % 3 == 0 and SEG_FWD:
+            from ..sparse import _xwin_selectors
+            base, sel = _xwin_selectors(rules, features.shape[0] - 1)
+            use_packed = packed and features.shape[1] % 2 == 0
+            # segment loads read (SEG_S, cw) windows anchored at any live
+            # row: pad the table so the last anchor's window stays in bounds
+            zrows = jnp.zeros((SEG_S - 1, features.shape[1]), features.dtype)
+            feats2 = jnp.concatenate([features, zrows], axis=0)
+            if use_packed:
+                w_r = weights.astype(jnp.bfloat16).astype(jnp.float32)
+                return _gather_matmul_seg_call(
+                    pack_bf16_pairs(feats2), base, sel,
+                    group_weights_x_eo(w_r), n_live)
+            return _gather_matmul_seg_call(
+                feats2, base, sel, group_weights_x(weights), n_live)
         if kw3 and rules.shape[1] % 3 == 0 and (XWIN_FWD or SUPER):
             from ..sparse import _xwin_selectors
             base, sel = _xwin_selectors(rules, features.shape[0] - 1)
@@ -939,6 +1235,12 @@ def _gm_any(features, rules, weights, packed=False, kw3=False, n_live=None):
 
 def _dw_any(features, rules, g, kw3=False, n_live=None):
     if jax.default_backend() != 'cpu':
+        if kw3 and rules.shape[1] % 3 == 0 and SEG_DW:
+            from ..sparse import _xwin_selectors
+            base, sel = _xwin_selectors(rules, features.shape[0] - 1)
+            zrows = jnp.zeros((SEG_S - 1, features.shape[1]), features.dtype)
+            return gather_dw_seg(jnp.concatenate([features, zrows], axis=0),
+                                 base, sel, g, n_live)
         if kw3 and rules.shape[1] % 3 == 0 and XWIN_DW:
             from ..sparse import _xwin_selectors
             base, sel = _xwin_selectors(rules, features.shape[0] - 1)
