@@ -299,22 +299,6 @@ def _gather_matmul_xwin_call(feats, base, sel, weights_grouped, n_live=None):
     return out[:vp]
 
 
-# ---------------------------------------------------------------------------
-# superwindow variant: one (8, Cin) load per (chunk of R rows, tap group)
-#
-# Consecutive sorted outputs' same-group x-windows advance monotonically and
-# overlap heavily on LiDAR surfaces: measured on realistic scan rulebooks,
-# 82-98% of R=6 chunks fit inside ONE 8-row window (span_stats, PERF_NOTES)
-# — a 3.2-5.5x load-issue cut and ~2x lane-bytes over the per-row x-window
-# kernel.  Non-coverable chunks fall back to per-row (3, Cin) loads.  All
-# selects land in a (TV, K*Cin) scratch and the tile contracts as ONE MXU
-# dot (K-dim 27*Cin).  Opt-in: PCDET_XWIN_SUPER=1 (chip-queue experiment).
-# ---------------------------------------------------------------------------
-
-SUPER = os.environ.get('PCDET_XWIN_SUPER', '') == '1'
-SUPER_R = int(os.environ.get('PCDET_XWIN_SUPER_R', '8'))  # must divide TV
-SUPER_W = 8                    # window rows per covered-chunk load
-
 # Kernel-choice policy, decided by the 2026-08-18 on-chip A/B
 # (CHIP_QUEUE_LOG.txt): per-row packed gather beats the x-window variants
 # for the forward/dX gather-GEMMs both on the conv2-density microbench
@@ -326,262 +310,6 @@ SUPER_W = 8                    # window rows per covered-chunk load
 # every x-window path at the rulebook layer).
 XWIN_FWD = os.environ.get('PCDET_XWIN_FWD', '0') == '1'
 XWIN_DW = os.environ.get('PCDET_XWIN_DW', '1') == '1'
-
-
-def superwindow_desc(base, sel, r):
-    """Per-chunk descriptors for the superwindow kernel.
-
-    :param base: (Vp, G) int32 3-row window starts (miss rows excluded from
-        the span — their sel is all-miss 0x3f and they select nothing)
-    :param sel: (Vp, G) int32 packed 2-bit x-offsets (3 = miss); Vp must be
-        a multiple of r
-    :return: cb (Vp//r, G) int32 chunk window anchors, ok (Vp//r, G) int32
-        coverability flags, sel8 (Vp, G) int32 packed 4-bit offsets into the
-        8-row superwindow (>= 8 selects nothing; all-miss 0xfff on fallback
-        chunks)
-    """
-    vp, g = base.shape
-    n_chunks = vp // r
-    b3 = base.reshape(n_chunks, r, g)
-    s3 = sel.reshape(n_chunks, r, g)
-    rowmiss = s3 == 0x3f
-    big = jnp.int32(np.iinfo(np.int32).max)
-    lo = jnp.min(jnp.where(rowmiss, big, b3), axis=1)
-    anchor = jnp.where(lo == big, 0, lo).astype(jnp.int32)
-    hi = jnp.max(jnp.where(rowmiss, -1, b3 + 3), axis=1)
-    ok = (hi - anchor) <= SUPER_W                 # all-miss: hi-0 = -1 <= 8
-    rel = b3 - anchor[:, None, :]
-    parts = []
-    for dx in range(3):
-        tap = (s3 >> (2 * dx)) & 3
-        o = jnp.where(tap == 3, 15, jnp.clip(rel + tap, 0, 15))
-        parts.append(o << (4 * dx))
-    sel8 = parts[0] | parts[1] | parts[2]
-    sel8 = jnp.where(ok[:, None, :], sel8, 0xfff)
-    return (anchor, ok.astype(jnp.int32),
-            sel8.reshape(vp, g).astype(jnp.int32))
-
-
-def _fill_spg_group(cb_ref, ok_ref, base_ref, sel_ref, sel8_ref, feats_ref,
-                    spg, g, n_chunks, r, cin):
-    """Fill the (TV, 3*Cin) per-group scratch with tap group g's selected
-    neighbour rows: covered chunks take ONE (SUPER_W, Cin) load + 4-bit
-    selects, fallback chunks per-row (3, Cin) loads + 2-bit selects; both
-    branches store the chunk's (r, 3*Cin) with one write."""
-    zero_r = jnp.zeros((r, cin), feats_ref.dtype)
-    zero_1 = jnp.zeros((1, cin), feats_ref.dtype)
-    for c in range(n_chunks):
-        lo_row = c * r
-
-        @pl.when(ok_ref[c, g] != 0)
-        def _(g=g, c=c, lo_row=lo_row):
-            win = feats_ref[pl.ds(cb_ref[c, g], SUPER_W), :]
-            off = sel8_ref[lo_row:lo_row + r, g:g + 1]        # (r, 1)
-            parts = []
-            for dx in range(3):
-                od = (off >> (4 * dx)) & 15
-                s = zero_r
-                for j in range(SUPER_W):
-                    s = s + jnp.where(od == j, win[j:j + 1, :], zero_r)
-                parts.append(s)
-            spg[lo_row:lo_row + r, :] = jnp.concatenate(parts, axis=1)
-
-        @pl.when(ok_ref[c, g] == 0)
-        def _(g=g, c=c, lo_row=lo_row):
-            rows = []
-            for i in range(r):
-                row = lo_row + i
-                w3 = feats_ref[pl.ds(base_ref[row, g], 3), :]
-                selv = sel_ref[row, g]
-                taps = []
-                for dx in range(3):
-                    o = (selv >> (2 * dx)) & 3
-                    taps.append(jnp.where(
-                        o == 0, w3[0:1, :],
-                        jnp.where(o == 1, w3[1:2, :],
-                                  jnp.where(o == 2, w3[2:3, :], zero_1))))
-                rows.append(jnp.concatenate(taps, axis=1))
-            spg[lo_row:lo_row + r, :] = jnp.concatenate(rows, axis=0)
-
-
-def _kernel_xwin_super(live_ref, cb_ref, ok_ref, base_ref, sel_ref,
-                       sel8_ref, feats_ref, w_ref, out_ref, spg):
-    """cb/ok: (TV//R, G) SMEM; base/sel: (TV, G) SMEM; sel8: (TV, G) VMEM;
-    feats_ref: (V+SUPER_W, Cin) (last SUPER_W rows zero); w_ref:
-    (G, 3*Cin, Cout) f32 or (G, 2, 3*Cin/2, Cout) packed (same layouts as
-    the per-row x-window kernel); spg: (TV, 3*Cin) per-group scratch.
-
-    Both branches produce a chunk's (R, 3*Cin) select result as a VALUE and
-    store it with ONE write, so a tile issues G*(TV/R) stores + covered
-    loads instead of G*TV per-row loads."""
-    n_chunks, g_groups = ok_ref.shape
-    tv = out_ref.shape[0]
-    r = tv // n_chunks
-    cin = feats_ref.shape[1]
-    packed = feats_ref.dtype == jnp.int32
-    cout = w_ref.shape[-1]
-
-    @pl.when(live_ref[0, 0] != 0)
-    def _():
-        prec = (jax.lax.Precision.DEFAULT
-                if feats_ref.dtype == jnp.bfloat16
-                else jax.lax.Precision.HIGHEST)
-        acc = jnp.zeros((tv, cout), jnp.float32)
-        for g in range(g_groups):               # static unroll
-            _fill_spg_group(cb_ref, ok_ref, base_ref, sel_ref, sel8_ref,
-                            feats_ref, spg, g, n_chunks, r, cin)
-            sp = spg[:]
-            if packed:                          # bf16 pairs in int32 words
-                lo = jax.lax.bitcast_convert_type(sp << 16, jnp.float32)
-                hi = jax.lax.bitcast_convert_type(sp & jnp.int32(-65536),
-                                                  jnp.float32)
-                acc = acc + jnp.dot(lo, w_ref[g, 0],
-                                    preferred_element_type=jnp.float32)
-                acc = acc + jnp.dot(hi, w_ref[g, 1],
-                                    preferred_element_type=jnp.float32)
-            else:
-                acc = acc + jnp.dot(sp, w_ref[g],
-                                    preferred_element_type=jnp.float32,
-                                    precision=prec)
-        out_ref[:] = acc
-
-    @pl.when(live_ref[0, 0] == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-
-@jax.jit
-def _gather_matmul_xwin_super_call(feats, base, sel, weights_grouped,
-                                   n_live=None):
-    """feats: (V+SUPER_W, Cin) f32 or int32-packed (last SUPER_W rows
-    zero); base/sel: (V, G) int32; weights_grouped: (G, 3*Cin, Cout) f32 or
-    (G, 2, 3*Cin/2, Cout) packed (group_weights_x / group_weights_x_packed
-    — the per-row x-window layouts)."""
-    vp, g = base.shape
-    packed = feats.dtype == jnp.int32
-    cout = weights_grouped.shape[-1]
-    assert TV % SUPER_R == 0, (TV, SUPER_R)
-    pad = (-vp) % TV
-    if pad:
-        base = jnp.pad(base, ((0, pad), (0, 0)))
-        sel = jnp.pad(sel, ((0, pad), (0, 0)), constant_values=0x3f)
-    cb, ok, sel8 = superwindow_desc(base, sel, SUPER_R)
-    n_tiles = base.shape[0] // TV
-    cpt = TV // SUPER_R                         # chunks per tile
-    adapt, gate_in, gate_specs = _gate_args(
-        vp if n_live is None else n_live, n_tiles)
-    c3 = weights_grouped.shape[-2]              # 3*Cin (or 3*Cin/2 packed)
-    out = pl.pallas_call(
-        adapt(_kernel_xwin_super),
-        out_shape=jax.ShapeDtypeStruct((base.shape[0], cout), jnp.float32),
-        grid=(n_tiles,),
-        in_specs=gate_specs + [
-            pl.BlockSpec((cpt, g), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((cpt, g), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((TV, g), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TV, g), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TV, g), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((TV, cout), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((TV, c3), feats.dtype)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=INTERPRET,
-    )(*gate_in, cb, ok, base, sel, sel8, feats, weights_grouped)
-    return out[:vp]
-
-
-def _dw_kernel_xwin_super(live_ref, cb_ref, ok_ref, base_ref, sel_ref,
-                          sel8_ref, g_ref, feats_ref, out_ref, spg,
-                          acc_ref):
-    """Superwindow dW: same gather structure as _kernel_xwin_super, but the
-    per-group (TV, 3*Cin) scratch contracts against the upstream grads
-    ((3*Cin, Cout) per group), accumulated across tiles like
-    _dw_kernel_xwin.  g_ref: (TV, Cout); out_ref: (K, Cin, Cout)."""
-    i = pl.program_id(0)
-    n = pl.num_programs(0)
-    n_chunks, g_groups = ok_ref.shape
-    tv = g_ref.shape[0]
-    r = tv // n_chunks
-    k_taps, cin, cout = out_ref.shape
-
-    @pl.when(i == 0)
-    def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    @pl.when(live_ref[0, 0] != 0)
-    def _():
-        gv = g_ref[:]
-        prec = (jax.lax.Precision.DEFAULT
-                if feats_ref.dtype == jnp.bfloat16
-                else jax.lax.Precision.HIGHEST)
-        for g in range(g_groups):               # static unroll
-            _fill_spg_group(cb_ref, ok_ref, base_ref, sel_ref, sel8_ref,
-                            feats_ref, spg, g, n_chunks, r, cin)
-            d = jax.lax.dot_general(spg[:], gv, (((0,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=prec)      # (3*Cin, Cout)
-            acc_ref[3 * cin * g:3 * cin * (g + 1), :] = (
-                acc_ref[3 * cin * g:3 * cin * (g + 1), :] + d)
-
-    @pl.when(i == n - 1)
-    def _():
-        out_ref[...] = acc_ref[...].reshape(k_taps, cin, cout)
-
-
-@jax.jit
-def gather_dw_xwin_super(features, base, sel, g, n_live=None):
-    """Superwindow dW (kw=3 books): features (V+SUPER_W, Cin) f32 (last
-    SUPER_W rows zero), base/sel (V, G) int32, g (V, Cout) ->
-    (3*G, Cin, Cout)."""
-    vp, n_groups = base.shape
-    cin = features.shape[1]
-    cout = g.shape[1]
-    assert TV % SUPER_R == 0, (TV, SUPER_R)
-    pad = (-vp) % TV
-    if pad:
-        base = jnp.pad(base, ((0, pad), (0, 0)))
-        sel = jnp.pad(sel, ((0, pad), (0, 0)), constant_values=0x3f)
-        g = jnp.pad(g, ((0, pad), (0, 0)))
-    cb, ok, sel8 = superwindow_desc(base, sel, SUPER_R)
-    n_tiles = base.shape[0] // TV
-    cpt = TV // SUPER_R
-    adapt, gate_in, gate_specs = _gate_args(
-        vp if n_live is None else n_live, n_tiles)
-    out = pl.pallas_call(
-        adapt(_dw_kernel_xwin_super),
-        out_shape=jax.ShapeDtypeStruct((3 * n_groups, cin, cout),
-                                       jnp.float32),
-        grid=(n_tiles,),
-        in_specs=gate_specs + [
-            pl.BlockSpec((cpt, n_groups), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((cpt, n_groups), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((TV, n_groups), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((TV, n_groups), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((TV, n_groups), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TV, cout), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # full feature table
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((TV, 3 * cin), features.dtype),
-                        pltpu.VMEM((3 * n_groups * cin, cout), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=INTERPRET,
-    )(*gate_in, cb, ok, base, sel, sel8, g, features)
-    return out
-
 
 # ---------------------------------------------------------------------------
 # segment variant (round 5): ONE (S, Cin) block load per (tile, tap group)
@@ -1189,23 +917,10 @@ def _gm_any(features, rules, weights, packed=False, kw3=False, n_live=None):
                     group_weights_x_eo(w_r), n_live)
             return _gather_matmul_seg_call(
                 feats2, base, sel, group_weights_x(weights), n_live)
-        if kw3 and rules.shape[1] % 3 == 0 and (XWIN_FWD or SUPER):
+        if kw3 and rules.shape[1] % 3 == 0 and XWIN_FWD:
             from ..sparse import _xwin_selectors
             base, sel = _xwin_selectors(rules, features.shape[0] - 1)
             use_packed = packed and features.shape[1] % 2 == 0
-            if SUPER:
-                # superwindow: (SUPER_W, Cin) chunk loads; the table needs
-                # SUPER_W trailing zero rows for in-bounds window loads
-                zrows = jnp.zeros((SUPER_W - 1, features.shape[1]),
-                                  features.dtype)
-                feats2 = jnp.concatenate([features, zrows], axis=0)
-                if use_packed:
-                    w_r = weights.astype(jnp.bfloat16).astype(jnp.float32)
-                    return _gather_matmul_xwin_super_call(
-                        pack_bf16_pairs(feats2), base, sel,
-                        group_weights_x_packed(w_r), n_live)
-                return _gather_matmul_xwin_super_call(
-                    feats2, base, sel, group_weights_x(weights), n_live)
             zrow = jnp.zeros((1, features.shape[1]), features.dtype)
             feats2 = jnp.concatenate([features, zrow], axis=0)
             if use_packed:
@@ -1244,12 +959,6 @@ def _dw_any(features, rules, g, kw3=False, n_live=None):
         if kw3 and rules.shape[1] % 3 == 0 and XWIN_DW:
             from ..sparse import _xwin_selectors
             base, sel = _xwin_selectors(rules, features.shape[0] - 1)
-            if SUPER:
-                zrows = jnp.zeros((SUPER_W - 1, features.shape[1]),
-                                  features.dtype)
-                return gather_dw_xwin_super(
-                    jnp.concatenate([features, zrows], axis=0), base, sel,
-                    g, n_live)
             zrow = jnp.zeros((1, features.shape[1]), features.dtype)
             return gather_dw_xwin(jnp.concatenate([features, zrow], axis=0),
                                   base, sel, g, n_live)

@@ -178,8 +178,6 @@ def main():
         lookup = os.environ.get('PCDET_SPARSE_LOOKUP', '')
         if lookup and lookup != 'sort':
             r['metric'] += '_%s' % lookup
-        if os.environ.get('PCDET_XWIN_SUPER'):
-            r['metric'] += '_super'
         if os.environ.get('PCDET_DISABLE_TILE_GATE'):
             r['metric'] += '_nogate'
         tv = os.environ.get('PCDET_GATHER_TV', '')

@@ -106,10 +106,6 @@ commit_artifacts lookup-backends
 step bench-b8-nogate env PCDET_DISABLE_TILE_GATE=1 \
     python scripts/bench_models.py --models second --batch_size 8
 
-# 4d. e2e SECOND bench with the superwindow kernels on
-step bench-b8-super env PCDET_XWIN_SUPER=1 \
-    python scripts/bench_models.py --models second --batch_size 8
-
 # 4e. upper end of the batch-scaling curve (batched NMS + lazy decode may
 # keep paying past B8)
 step bench-b16 python scripts/bench_models.py --models second --batch_size 16

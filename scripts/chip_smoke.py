@@ -108,21 +108,8 @@ def main():
               jax.jit(lambda g=g: gg._gm_any(fp, rules, w, True, True, g)),
               expect, 5e-2)
 
-    # superwindow (call site always gates: vp when n_live is None)
     base, sel = sparse._xwin_selectors(rules, V)
-    fp_s = jnp.concatenate([fp, jnp.zeros((gg.SUPER_W - 1, C))], axis=0)
     wfl = gg.group_weights_x(w)
-    wflp = gg.group_weights_x_packed(
-        w.astype(jnp.bfloat16).astype(jnp.float32))
-    check('super f32',
-          jax.jit(lambda: gg._gather_matmul_xwin_super_call(
-              fp_s, base, sel, wfl)), expect, 1e-4)
-    check('super f32 gated',
-          jax.jit(lambda: gg._gather_matmul_xwin_super_call(
-              fp_s, base, sel, wfl, nl)), expect, 1e-4)
-    check('super packed gated',
-          jax.jit(lambda: gg._gather_matmul_xwin_super_call(
-              gg.pack_bf16_pairs(fp_s), base, sel, wflp, nl)), expect, 5e-2)
 
     # segment kernel (round 5): one (S, Cin) block load + one-hot MXU
     # routing per (tile, group).  The small-S pass forces the per-row
@@ -169,8 +156,6 @@ def main():
     fp2 = jnp.concatenate([fp, jnp.zeros((1, C))], axis=0)
     check('dw xwin gated',
           jax.jit(lambda: gg.gather_dw_xwin(fp2, base, sel, gup, nl)))
-    check('dw super gated',
-          jax.jit(lambda: gg.gather_dw_xwin_super(fp_s, base, sel, gup, nl)))
     check('dw seg gated',
           jax.jit(lambda: gg.gather_dw_seg(fp_g, base, sel, gup, nl)))
     gg.SEG_S = 16

@@ -47,7 +47,8 @@ def span_stats(base, sel, n_act, name):
         b2 = np.pad(base, ((0, pad), (0, 0))).reshape(n_tiles, tv, g)
         m2 = np.pad(rowmiss, ((0, pad), (0, 0)),
                     constant_values=True).reshape(n_tiles, tv, g)
-        lo = np.where(m2, 2 ** 31, b2).min(axis=1)
+        b2 = b2.astype(np.int64)
+        lo = np.where(m2, 2 ** 62, b2).min(axis=1)
         hi = np.where(m2, -1, b2 + 3).max(axis=1)
         span = np.where((hi - lo) < 0, 0, hi - lo)    # all-miss -> 0
         qs = np.percentile(span, [50, 90, 99, 100])

@@ -79,21 +79,11 @@ def main():
     fp = jnp.concatenate([lv.features,
                           jnp.zeros((1, C), jnp.float32)], axis=0)
 
-    # superwindow inputs (PCDET_XWIN_SUPER path): table with SUPER_W zero
-    # rows, flat tap-major weights
     base, sel = sparse._xwin_selectors(rules, n_in)
-    fp_s = jnp.concatenate(
-        [fp, jnp.zeros((gg.SUPER_W - 1, C), jnp.float32)], axis=0)
     fp_g = jnp.concatenate(
         [fp, jnp.zeros((gg.SEG_S - 1, C), jnp.float32)], axis=0)
     n_act = int(np.asarray(lv.mask).sum())
     pad = (-V) % gg.TV
-    cb, okc, _ = gg.superwindow_desc(
-        jnp.pad(base, ((0, pad), (0, 0))),
-        jnp.pad(sel, ((0, pad), (0, 0)), constant_values=0x3f), gg.SUPER_R)
-    print('super: TV=%d R=%d chunks coverable %.1f%% (act %d/%d)'
-          % (gg.TV, gg.SUPER_R, 100 * float(np.asarray(okc).mean()),
-             n_act, V))
     _, oks, _ = gg.segment_desc(
         jnp.pad(base, ((0, pad), (0, 0))),
         jnp.pad(sel, ((0, pad), (0, 0)), constant_values=0x3f),
@@ -107,12 +97,6 @@ def main():
         'f32 xwin': jax.jit(lambda: gg._gm_any(fp, rules, w, False, True)),
         'packed rows': jax.jit(lambda: gg._gm_any(fp, rules, w, True, False)),
         'packed xwin': jax.jit(lambda: gg._gm_any(fp, rules, w, True, True)),
-        'f32 super': jax.jit(lambda: gg._gather_matmul_xwin_super_call(
-            fp_s, base, sel, gg.group_weights_x(w))),
-        'packed super': jax.jit(lambda: gg._gather_matmul_xwin_super_call(
-            gg.pack_bf16_pairs(fp_s), base, sel,
-            gg.group_weights_x_packed(
-                w.astype(jnp.bfloat16).astype(jnp.float32)))),
         'f32 seg': jax.jit(lambda: gg._gather_matmul_seg_call(
             fp_g, base, sel, gg.group_weights_x(w))),
         'packed seg': jax.jit(lambda: gg._gather_matmul_seg_call(
@@ -121,7 +105,7 @@ def main():
                 w.astype(jnp.bfloat16).astype(jnp.float32)))),
     }
     # fault isolation: one variant failing to lower (round 4: the gated
-    # superwindow's SMEM block spec) must not kill the others' numbers or
+    # round-4 gated superwindow SMEM spec) must not kill the others' numbers or
     # the chip queue's xwin numerics gate.
     outs = {}
     for name, fn in variants.items():
@@ -139,8 +123,6 @@ def main():
     err('f32  xwin vs rows max rel err:', 'f32 xwin', 'f32 rows')
     err('pack xwin vs pack rows   err:', 'packed xwin', 'packed rows')
     err('pack rows vs f32 rows    err:', 'packed rows', 'f32 rows')
-    err('f32  super vs rows       err:', 'f32 super', 'f32 rows')
-    err('pack super vs pack rows  err:', 'packed super', 'packed rows')
     err('f32  seg vs rows         err:', 'f32 seg', 'f32 rows')
     err('pack seg vs pack rows    err:', 'packed seg', 'packed rows')
 
@@ -149,10 +131,7 @@ def main():
     nl = jnp.int32(n_act)
     rules_b = jnp.broadcast_to(rules[None], (B,) + rules.shape)
     fp_b = jnp.broadcast_to(fp[None], (B,) + fp.shape)
-    fps_b = jnp.broadcast_to(fp_s[None], (B,) + fp_s.shape)
     wfl = gg.group_weights_x(w)
-    wflp = gg.group_weights_x_packed(w.astype(jnp.bfloat16).astype(
-        jnp.float32))
     wfle = gg.group_weights_x_eo(w.astype(jnp.bfloat16).astype(jnp.float32))
     fpg_b = jnp.broadcast_to(fp_g[None], (B,) + fp_g.shape)
     for name, one, tbl in [
@@ -168,11 +147,6 @@ def main():
              'fp'),
             ('packed xwin gated', lambda f, r: gg._gm_any(
                 f, r, w, True, True, nl), 'fp'),
-            ('f32 super', lambda f, r: gg._gather_matmul_xwin_super_call(
-                f, *sparse._xwin_selectors(r, n_in), wfl, nl), 'fps'),
-            ('packed super', lambda f, r: gg._gather_matmul_xwin_super_call(
-                gg.pack_bf16_pairs(f), *sparse._xwin_selectors(r, n_in),
-                wflp, nl), 'fps'),
             ('f32 seg', lambda f, r: gg._gather_matmul_seg_call(
                 f, *sparse._xwin_selectors(r, n_in), wfl, nl), 'fpg'),
             ('packed seg', lambda f, r: gg._gather_matmul_seg_call(
@@ -180,31 +154,26 @@ def main():
                 wfle, nl), 'fpg')]:
         fn = jax.jit(lambda f, r, one=one: jax.vmap(one)(f, r).sum())
         try:
-            t = timed(fn, {'fps': fps_b, 'fpg': fpg_b}.get(tbl, fp_b),
-                      rules_b)
+            t = timed(fn, fpg_b if tbl == 'fpg' else fp_b, rules_b)
             print('B%d %-18s %8.2f ms/batch' % (B, name, t))
         except Exception as e:
             print('B%d %-18s FAILED: %s'
                   % (B, name, str(e).splitlines()[0][:160]))
 
-    # dW (training backward): per-row xwin vs superwindow
+    # dW (training backward): per-row xwin vs segment
     gup = jnp.asarray(rng.randn(V, C).astype(np.float32) * 0.05)
     gup_b = jnp.broadcast_to(gup[None], (B,) + gup.shape)
     for name, one, tbl in [
             ('f32 dw xwin', lambda f, r, gu: gg.gather_dw_xwin(
                 f, *sparse._xwin_selectors(r, n_in), gu, nl), 'fp2'),
-            ('f32 dw super', lambda f, r, gu: gg.gather_dw_xwin_super(
-                f, *sparse._xwin_selectors(r, n_in), gu, nl), 'fps'),
             ('f32 dw seg', lambda f, r, gu: gg.gather_dw_seg(
                 f, *sparse._xwin_selectors(r, n_in), gu, nl), 'fpg')]:
         if tbl == 'fp2':
             tb = jnp.broadcast_to(
                 jnp.concatenate([fp, jnp.zeros((1, C))], axis=0)[None],
                 (B, V + 2, C))
-        elif tbl == 'fpg':
-            tb = fpg_b
         else:
-            tb = fps_b
+            tb = fpg_b
         fn = jax.jit(lambda f, r, gu, one=one: jax.vmap(one)(f, r, gu).sum())
         try:
             t = timed(fn, tb, rules_b, gup_b)
