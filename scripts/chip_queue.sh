@@ -121,14 +121,10 @@ commit_artifacts profiles
 
 # 6. gather tile-size sweep: TV=64 underfills the MXU's 128 rows; bigger
 # tiles halve per-dot overhead if load issue isn't the binding limit.
-# (step 1 already times TV=64 incl. the superwindow + gated variants)
+# (step 1 already times TV=64 incl. the gated variants)
 step tv128 env PCDET_GATHER_TV=128 python scripts/exp_xwin_loads.py
 step tv256 env PCDET_GATHER_TV=256 python scripts/exp_xwin_loads.py
 
-# 7. superwindow chunk-size sweep (R=8 ran in step 1; R=6 needs TV % R == 0)
-step super-r6 env PCDET_GATHER_TV=96 PCDET_XWIN_SUPER_R=6 \
-    python scripts/exp_xwin_loads.py
-step super-r4 env PCDET_XWIN_SUPER_R=4 python scripts/exp_xwin_loads.py
 commit_artifacts sweeps
 
 # 8. verify recipe: SECOND smoke through the real CLI (sparse path e2e)
