@@ -57,6 +57,7 @@ commit_artifacts parta2-e2e
 # unmeasured) + the non-model-half split profile (round-5 lead)
 step bench-flagship python bench.py
 step bench-split python scripts/profile_bench_split.py
+step hbm-ops python scripts/profile_hbm_ops.py --models pointpillar
 step pp-b8 python scripts/bench_models.py --models pointpillar \
     --batch_size 8 --eval_only
 commit_artifacts pointpillar
