@@ -11,8 +11,6 @@ Parity targets:
 BatchNorm over voxels uses the masked TorchBatchNorm (stats over active
 voxels only — exactly spconv's BatchNorm1d over the ragged voxel list).
 """
-import math
-import os
 from typing import Tuple
 
 import flax.linen as nn
@@ -20,7 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import dense as dense_ops
 from ..ops import sparse
 from .layers import TorchBatchNorm, TorchLinear, torch_uniform_init
 
@@ -48,14 +45,7 @@ class SpConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, level, train: bool, target=None):
-        """`level` arrays are batched: features (B, V, C), ids (B, V), ...
-
-        A `dense_ops.DenseGrid` input runs the SAME block (identical param
-        tree, so checkpoints interop) as one dense XLA conv3d + occupancy
-        masking — the dense-tail path for the deep low-V levels (see
-        ops/dense.py for the exact-parity argument)."""
-        if isinstance(level, dense_ops.DenseGrid):
-            return self._dense_call(level, train)
+        """`level` arrays are batched: features (B, V, C), ids (B, V), ..."""
         k = int(np.prod(self.kernel))
         cin = level.features.shape[-1]
         fan_in = cin * k
@@ -87,33 +77,6 @@ class SpConvBNReLU(nn.Module):
         feats = jax.nn.relu(feats) * out.mask[..., None].astype(feats.dtype)
         return out._replace(features=feats)
 
-    def _dense_call(self, grid, train):
-        """Dense-tail twin of the sparse path: conv3d + dilated/unchanged
-        occupancy + masked BN + masked ReLU.  Strided convs have no cap (and
-        therefore no truncation/overflow) in dense form."""
-        k = int(np.prod(self.kernel))
-        cin = grid.grid.shape[-1]
-        w = self.param('kernel', torch_uniform_init(cin * k),
-                       (k, cin, self.out_channels))
-        cd = jnp.bfloat16 if self.compute_dtype == 'bfloat16' else None
-        y = dense_ops.conv3d(grid.grid, w, self.kernel, self.stride,
-                             self.padding, compute_dtype=cd)
-        if self.conv_type == 'subm':
-            occ = grid.occ
-        elif self.conv_type == 'spconv':
-            occ = dense_ops.dilate_occ(grid.occ, self.kernel, self.stride,
-                                       self.padding)
-        else:
-            raise NotImplementedError('dense ' + self.conv_type)
-        b = y.shape[0]
-        feats = y.reshape(b, -1, self.out_channels)
-        m = occ.reshape(b, -1)
-        if self.use_norm:
-            feats = TorchBatchNorm(self.out_channels)(feats, train, mask=m)
-        feats = jax.nn.relu(feats) * m[..., None].astype(feats.dtype)
-        return dense_ops.DenseGrid(feats.reshape(y.shape), occ)
-
-
 def _effective_dtype(module, train):
     """Train uses `compute_dtype`; eval prefers `compute_dtype_test` when set
     (same train/test split as `level_caps`/`level_caps_test`).  Lets configs
@@ -121,22 +84,6 @@ def _effective_dtype(module, train):
     if train:
         return module.compute_dtype
     return module.compute_dtype_test or module.compute_dtype
-
-
-def _dense_tail_mode(module, train):
-    """Resolve the dense-tail mode: '' (sparse, default) | 'subm' (sparse
-    strided conv4_0, dense conv4_1/conv4_2/conv_out) | 'full' (dense from
-    the conv4 strided input on — BackBone8x only; UNetV2 treats it as
-    'subm' because its decoder reuses conv4_0's stashed forward book).
-
-    `PCDET_DENSE_TAIL` env overrides for chip A/Bs ('off' forces sparse);
-    otherwise the config fields with the usual train/test split."""
-    env = os.environ.get('PCDET_DENSE_TAIL', '')
-    if env:
-        return '' if env == 'off' else env
-    if train:
-        return module.dense_tail
-    return module.dense_tail_test or module.dense_tail
 
 
 def _resolve_caps(cap, level_caps, level_caps_frac, train, n=4):
@@ -191,8 +138,6 @@ class BackBone8x(nn.Module):
     level_caps_frac: Tuple[float, ...] = (0., 0., 0., 0.)
     compute_dtype: str = ''
     compute_dtype_test: str = ''     # eval-only override (like level_caps_test)
-    dense_tail: str = ''             # '' | 'subm' | 'full' (ops/dense.py)
-    dense_tail_test: str = ''        # eval-only override
 
     @nn.compact
     def __call__(self, level, train: bool):
@@ -217,57 +162,8 @@ class BackBone8x(nn.Module):
                           out_cap=caps[1], indice_key='spconv3',
                           name='conv3_0')(x2, train)
         overflow['conv3'] = x3.overflow
-        tail = _dense_tail_mode(self, train)
-        if tail == 'conv3':
-            # dense from conv3_1 on: the /4 subm pair + everything below
-            # runs as masked dense conv3d (pair with bfloat16 — the /4
-            # canvas is ~200 MB/sample in bf16).  x_conv3 is gathered back
-            # at conv3_0's sites for dict consumers.
-            cd3 = (jnp.bfloat16
-                   if _effective_dtype(self, train) == 'bfloat16' else None)
-            x3g = dense_ops.from_level(x3, dtype=cd3)
-            x3g = SpConvBNReLU(64, name='conv3_1')(x3g, train)
-            x3g = SpConvBNReLU(64, name='conv3_2')(x3g, train)
-            x3 = dense_ops.gather_level(x3g, x3)
-        else:
-            x3g = None
-            x3 = SpConvBNReLU(64, name='conv3_1')(x3, train)
-            x3 = SpConvBNReLU(64, name='conv3_2')(x3, train)
-        if tail:
-            # Dense tail (ops/dense.py): conv4/conv_out as masked dense
-            # conv3d on the /8 (and, for 'full'/'conv3', /4-input) grid —
-            # no caps, no truncation, overflow is identically zero.
-            zeros_b = jnp.zeros(x3.features.shape[0], jnp.int32)
-            cd = (jnp.bfloat16
-                  if _effective_dtype(self, train) == 'bfloat16' else None)
-            if tail in ('full', 'conv3'):
-                xg = (x3g if x3g is not None
-                      else dense_ops.from_level(x3, dtype=cd))
-                xg = SpConvBNReLU(64, stride=(2, 2, 2), padding=(0, 1, 1),
-                                  conv_type='spconv', name='conv4_0')(
-                                      xg, train)
-                overflow['conv4'] = zeros_b
-                x4 = None
-            else:
-                x4 = SpConvBNReLU(64, stride=(2, 2, 2), padding=(0, 1, 1),
-                                  conv_type='spconv', out_cap=caps[2],
-                                  indice_key='spconv4',
-                                  name='conv4_0')(x3, train)
-                overflow['conv4'] = x4.overflow
-                xg = dense_ops.from_level(x4, dtype=cd)
-            xg = SpConvBNReLU(64, name='conv4_1')(xg, train)
-            xg = SpConvBNReLU(64, name='conv4_2')(xg, train)
-            out_g = SpConvBNReLU(128, kernel=(3, 1, 1), stride=(2, 1, 1),
-                                 padding=self.last_pad, conv_type='spconv',
-                                 name='conv_out')(xg, train)
-            overflow['conv_out'] = zeros_b
-            bev = dense_ops.bev_from_grid(out_g)
-            # SECOND consumes only `overflow` from this dict; hand back the
-            # dense grid (or the gathered sparse level in 'subm' mode) for
-            # profilers/debug without forcing an extra conversion.
-            x4_ret = dense_ops.gather_level(xg, x4) if x4 is not None else xg
-            return bev, {'x_conv1': x1, 'x_conv2': x2, 'x_conv3': x3,
-                         'x_conv4': x4_ret, 'overflow': overflow}
+        x3 = SpConvBNReLU(64, name='conv3_1')(x3, train)
+        x3 = SpConvBNReLU(64, name='conv3_2')(x3, train)
 
         x4 = SpConvBNReLU(64, stride=(2, 2, 2), padding=(0, 1, 1),
                           conv_type='spconv', out_cap=caps[2],
@@ -372,8 +268,6 @@ class UNetV2(nn.Module):
     level_caps_frac: Tuple[float, ...] = (0., 0., 0., 0.)
     compute_dtype: str = ''
     compute_dtype_test: str = ''     # eval-only override (like level_caps_test)
-    dense_tail: str = ''             # '' | 'subm'/'full' (both run as 'subm':
-    dense_tail_test: str = ''        # the decoder reuses conv4_0's book)
 
     def ur_block(self, x_lateral, x_bottom, planes, inv_cfg, name, train):
         """UR block (rpn_unet.py:414-422): lateral residual block, concat with
@@ -428,61 +322,28 @@ class UNetV2(nn.Module):
                           out_cap=caps[1], indice_key='spconv3',
                           name='conv3_0')(x2, train)
         overflow['conv3'] = x3.overflow
-        tail = _dense_tail_mode(self, train)
-        if tail == 'conv3':
-            # dense /4 subm pair, gathered back at conv3_0's sites so the
-            # decoder's lateral x3 (and its 'spconv3' book) are unchanged
-            cd3 = (jnp.bfloat16
-                   if _effective_dtype(self, train) == 'bfloat16' else None)
-            x3g = dense_ops.from_level(x3, dtype=cd3)
-            x3g = SpConvBNReLU(64, name='conv3_1')(x3g, train)
-            x3g = SpConvBNReLU(64, name='conv3_2')(x3g, train)
-            x3 = dense_ops.gather_level(x3g, x3)
-        else:
-            x3 = SpConvBNReLU(64, name='conv3_1')(x3, train)
-            x3 = SpConvBNReLU(64, name='conv3_2')(x3, train)
+        x3 = SpConvBNReLU(64, name='conv3_1')(x3, train)
+        x3 = SpConvBNReLU(64, name='conv3_2')(x3, train)
         if stop_after == 'conv3':
             return x3.features
         x4 = SpConvBNReLU(64, stride=(2, 2, 2), padding=(0, 1, 1),
                           conv_type='spconv', out_cap=caps[2],
                           indice_key='spconv4', name='conv4_0')(x3, train)
         overflow['conv4'] = x4.overflow
-        if tail:
-            # Dense tail (ops/dense.py): conv4_1/conv4_2/conv_out as masked
-            # dense conv3d; conv4_0 stays sparse because the decoder's up4
-            # inverseconv reuses its stashed forward book ('spconv4').  The
-            # gather back at x4's sites keeps ids/books intact.
-            cd = (jnp.bfloat16
-                  if _effective_dtype(self, train) == 'bfloat16' else None)
-            xg = dense_ops.from_level(x4, dtype=cd)
-            xg = SpConvBNReLU(64, name='conv4_1')(xg, train)
-            xg = SpConvBNReLU(64, name='conv4_2')(xg, train)
-            x4 = dense_ops.gather_level(xg, x4)
-            if stop_after == 'conv4':
-                return x4.features
-            out_g = SpConvBNReLU(128, kernel=(3, 1, 1), stride=(2, 1, 1),
-                                 padding=self.last_pad, conv_type='spconv',
-                                 name='conv_out')(xg, train)
-            overflow['conv_out'] = jnp.zeros(x4.features.shape[0], jnp.int32)
-            bev = dense_ops.bev_from_grid(out_g)
-            if stop_after == 'conv_out':
-                return bev
-        else:
-            x4 = SpConvBNReLU(64, name='conv4_1')(x4, train)
-            x4 = SpConvBNReLU(64, name='conv4_2')(x4, train)
-            if stop_after == 'conv4':
-                return x4.features
+        x4 = SpConvBNReLU(64, name='conv4_1')(x4, train)
+        x4 = SpConvBNReLU(64, name='conv4_2')(x4, train)
+        if stop_after == 'conv4':
+            return x4.features
 
-            out = SpConvBNReLU(128, kernel=(3, 1, 1), stride=(2, 1, 1),
-                               padding=self.last_pad, conv_type='spconv',
-                               out_cap=caps[3], name='conv_out')(x4, train)
-            overflow['conv_out'] = out.overflow
-            dense = sparse.to_dense_batched(out)
-            b, d, h, w, c = dense.shape
-            bev = jnp.transpose(dense, (0, 2, 3, 4, 1)).reshape(b, h, w,
-                                                                c * d)
-            if stop_after == 'conv_out':
-                return bev
+        out = SpConvBNReLU(128, kernel=(3, 1, 1), stride=(2, 1, 1),
+                           padding=self.last_pad, conv_type='spconv',
+                           out_cap=caps[3], name='conv_out')(x4, train)
+        overflow['conv_out'] = out.overflow
+        dense = sparse.to_dense_batched(out)
+        b, d, h, w, c = dense.shape
+        bev = jnp.transpose(dense, (0, 2, 3, 4, 1)).reshape(b, h, w, c * d)
+        if stop_after == 'conv_out':
+            return bev
 
         # decoder: x_up4 stays at level 4 (lateral == bottom), then upsample
         x_up4 = self.ur_block(x4, x4, 64,

@@ -39,8 +39,6 @@ class PartA2Module(nn.Module):
     level_caps_frac: Tuple[float, ...] = (0., 0., 0., 0.)
     compute_dtype: str = ''
     compute_dtype_test: str = ''
-    dense_tail: str = ''
-    dense_tail_test: str = ''
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, voxel_mask, train: bool):
@@ -56,8 +54,6 @@ class PartA2Module(nn.Module):
                                  level_caps_frac=self.level_caps_frac,
                                  compute_dtype=self.compute_dtype,
                                  compute_dtype_test=self.compute_dtype_test,
-                                 dense_tail=self.dense_tail,
-                                 dense_tail_test=self.dense_tail_test,
                                  name='unet')(level, train)
         a = self.rpn_args
         ret = RPNV2(
@@ -157,10 +153,6 @@ class PartA2Net:
                               .get('compute_dtype', '')),
             compute_dtype_test=str(cfg.MODEL.RPN.BACKBONE.get('ARGS', {})
                                    .get('compute_dtype_test', '')),
-            dense_tail=str(cfg.MODEL.RPN.BACKBONE.get('ARGS', {})
-                           .get('dense_tail', '')),
-            dense_tail_test=str(cfg.MODEL.RPN.BACKBONE.get('ARGS', {})
-                                .get('dense_tail_test', '')),
         )
         rcnn_cfg = cfg.MODEL.RCNN
         self.rcnn_cfg = rcnn_cfg

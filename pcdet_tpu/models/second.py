@@ -31,8 +31,6 @@ class SECONDNetModule(nn.Module):
     level_caps_frac: Tuple[float, ...] = (0., 0., 0., 0.)
     compute_dtype: str = ''
     compute_dtype_test: str = ''
-    dense_tail: str = ''
-    dense_tail_test: str = ''
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, voxel_mask, train: bool):
@@ -47,8 +45,6 @@ class SECONDNetModule(nn.Module):
             level_caps_frac=self.level_caps_frac,
             compute_dtype=self.compute_dtype,
             compute_dtype_test=self.compute_dtype_test,
-            dense_tail=self.dense_tail,
-            dense_tail_test=self.dense_tail_test,
             name='backbone_3d')(level, train)
         a = self.rpn_args
         ret = RPNV2(
@@ -107,8 +103,6 @@ class SECONDNet:
             compute_dtype=str(backbone_args.get('compute_dtype', '')),
             compute_dtype_test=str(backbone_args.get('compute_dtype_test',
                                                      '')),
-            dense_tail=str(backbone_args.get('dense_tail', '')),
-            dense_tail_test=str(backbone_args.get('dense_tail_test', '')),
         )
 
     def init_variables(self, rng, batch):

@@ -22,7 +22,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os
 
-TV = int(os.environ.get('PCDET_GATHER_TV', '64'))   # output rows per program
+# Output rows per program. 256 is the chip-measured default: the r5 TV
+# sweep (CHIP_QUEUE_LOG seg-tv64/seg-tv256) has the packed-rows fwd kernel
+# at 33.6/27.2/22.9 ms per conv2-density B8 book for TV=64/128/256, and e2e
+# SECOND B8 eval at 21.6 fps (TV=256) vs 19.04 (TV=64).  Tests pin 64 via
+# conftest (interpret-mode cost scales with the static TV unroll).
+TV = int(os.environ.get('PCDET_GATHER_TV', '256'))
 INTERPRET = False   # tests set True to run kernels in interpret mode on CPU
 
 
@@ -367,13 +372,32 @@ def segment_desc(base, sel, tv, s):
             seloff.reshape(vp, g).astype(jnp.int32))
 
 
-def _seg_covered_sps(anchor_ref, seloff_all, feats_ref, i, g, tv, prec):
+def _seg_meta(anchor, ok):
+    """Pack the per-(tile, group) anchor/ok descriptors into an
+    (8 * n_tiles, G) array consumable as per-tile (8, G) SMEM blocks:
+    row 8i = tile i's anchors, row 8i+1 = its ok flags, rows 8i+2.. pad.
+
+    The first seg version passed anchor/ok as FULL (n_tiles, G) SMEM
+    arrays (block == array) — at production V (n_tiles ~ 680) that is
+    ~25 KB of SMEM per array and the remote TPU compiler crashed outright
+    (tpu_compile_helper exit 1, CHIP_QUEUE_LOG r5b seg-tv64) while the
+    same kernel compiled fine at smoke shapes.  Per-tile (8, G) blocks
+    keep SMEM usage constant and respect the Mosaic block-shape rule
+    (8 divides 8; G equals the array dim)."""
+    n_tiles, g = anchor.shape
+    meta = jnp.zeros((n_tiles, 8, g), jnp.int32)
+    meta = meta.at[:, 0].set(anchor).at[:, 1].set(ok)
+    return meta.reshape(8 * n_tiles, g)
+
+
+def _seg_covered_sps(a0, seloff_all, feats_ref, g, tv, prec):
     """Covered-branch select: (TV, 3*Cin) f32, per tap [even||odd] column
     order when the table is packed (matching group_weights_x_eo), original
-    channel order when f32 (matching group_weights_x)."""
+    channel order when f32 (matching group_weights_x).  `a0` is the tile's
+    scalar segment anchor (row index into feats)."""
     s = SEG_S
     packed = feats_ref.dtype == jnp.int32
-    win = feats_ref[pl.ds(anchor_ref[i, g], s), :]          # (S, cw)
+    win = feats_ref[pl.ds(a0, s), :]                        # (S, cw)
     if packed:
         lo = jax.lax.bitcast_convert_type(win << 16, jnp.float32)
         hi = jax.lax.bitcast_convert_type(win & jnp.int32(-65536),
@@ -414,15 +438,15 @@ def _seg_fallback_sps(base_ref, sel_all, feats_ref, blk, g, tv):
     return jnp.concatenate(parts, axis=1)
 
 
-def _kernel_seg(live_ref, anchor_ref, ok_ref, base_ref, sel_ref, seloff_ref,
+def _kernel_seg(live_ref, meta_ref, base_ref, sel_ref, seloff_ref,
                 feats_ref, w_ref, out_ref, blk, acc_ref):
-    """anchor/ok: (n_tiles, G) SMEM (block == array — a (1, G) block would
-    violate the Mosaic block-shape rule, see _LiveFlag); base: (TV, G) SMEM
+    """meta: per-tile (8, G) SMEM block — row 0 anchors, row 1 ok flags
+    (_seg_meta; constant SMEM, unlike the full (n_tiles, G) arrays that
+    crashed the compiler at production n_tiles); base: (TV, G) SMEM
     (fallback row loads); sel/seloff: (TV, G) VMEM; feats: (V+S, cw) f32 or
     int32-packed (last S rows zero); w_ref: (G, 3*Cin, Cout) f32
     (group_weights_x order for f32 tables, group_weights_x_eo for packed);
     blk: (3*TV, cw) fallback scratch; acc_ref: (TV, Cout) f32 scratch."""
-    i = pl.program_id(0)
     g_groups = w_ref.shape[0]
     tv = out_ref.shape[0]
     packed = feats_ref.dtype == jnp.int32
@@ -435,15 +459,15 @@ def _kernel_seg(live_ref, anchor_ref, ok_ref, base_ref, sel_ref, seloff_ref,
         seloff_all = seloff_ref[:]
         acc_ref[:] = jnp.zeros_like(acc_ref)
         for g in range(g_groups):               # static unroll
-            @pl.when(ok_ref[i, g] != 0)
+            @pl.when(meta_ref[1, g] != 0)
             def _(g=g):
-                sps = _seg_covered_sps(anchor_ref, seloff_all, feats_ref,
-                                       i, g, tv, prec)
+                sps = _seg_covered_sps(meta_ref[0, g], seloff_all,
+                                       feats_ref, g, tv, prec)
                 acc_ref[:] = acc_ref[:] + jnp.dot(
                     sps, w_ref[g], preferred_element_type=jnp.float32,
                     precision=prec)
 
-            @pl.when(ok_ref[i, g] == 0)
+            @pl.when(meta_ref[1, g] == 0)
             def _(g=g):
                 sps = _seg_fallback_sps(base_ref, sel_all, feats_ref, blk,
                                         g, tv)
@@ -469,6 +493,7 @@ def _gather_matmul_seg_call(feats, base, sel, weights_grouped, n_live=None):
         base = jnp.pad(base, ((0, pad), (0, 0)))
         sel = jnp.pad(sel, ((0, pad), (0, 0)), constant_values=0x3f)
     anchor, ok, seloff = segment_desc(base, sel, TV, SEG_S)
+    meta = _seg_meta(anchor, ok)
     n_tiles = base.shape[0] // TV
     adapt, gate_in, gate_specs = _gate_args(n_live, n_tiles)
     out = pl.pallas_call(
@@ -476,8 +501,8 @@ def _gather_matmul_seg_call(feats, base, sel, weights_grouped, n_live=None):
         out_shape=jax.ShapeDtypeStruct((base.shape[0], cout), jnp.float32),
         grid=(n_tiles,),
         in_specs=gate_specs + [
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # anchor (full)
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # ok (full)
+            pl.BlockSpec((8, g), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),          # meta
             pl.BlockSpec((TV, g), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((TV, g), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TV, g), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -491,16 +516,17 @@ def _gather_matmul_seg_call(feats, base, sel, weights_grouped, n_live=None):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=INTERPRET,
-    )(*gate_in, anchor, ok, base, sel, seloff, feats, weights_grouped)
+    )(*gate_in, meta, base, sel, seloff, feats, weights_grouped)
     return out[:vp]
 
 
-def _dw_kernel_seg(live_ref, anchor_ref, ok_ref, base_ref, sel_ref,
+def _dw_kernel_seg(live_ref, meta_ref, base_ref, sel_ref,
                    seloff_ref, g_ref, feats_ref, out_ref, blk, spg,
                    acc_ref):
     """Segment dW (f32 tables only — training path): same dual-branch
     select as _kernel_seg, but the (TV, 3*Cin) rows contract against the
     upstream grads and accumulate across tiles (like _dw_kernel_xwin).
+    meta: per-tile (8, G) SMEM block (row 0 anchors, row 1 ok flags);
     g_ref: (TV, Cout); out_ref: (K, Cin, Cout)."""
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -518,13 +544,13 @@ def _dw_kernel_seg(live_ref, anchor_ref, ok_ref, base_ref, sel_ref,
         seloff_all = seloff_ref[:]
         gv = g_ref[:]
         for g in range(g_groups):               # static unroll
-            @pl.when(ok_ref[i, g] != 0)
+            @pl.when(meta_ref[1, g] != 0)
             def _(g=g):
-                spg[:] = _seg_covered_sps(anchor_ref, seloff_all, feats_ref,
-                                          i, g, tv,
+                spg[:] = _seg_covered_sps(meta_ref[0, g], seloff_all,
+                                          feats_ref, g, tv,
                                           jax.lax.Precision.HIGHEST)
 
-            @pl.when(ok_ref[i, g] == 0)
+            @pl.when(meta_ref[1, g] == 0)
             def _(g=g):
                 spg[:] = _seg_fallback_sps(base_ref, sel_all, feats_ref,
                                            blk, g, tv)
@@ -552,6 +578,7 @@ def gather_dw_seg(features, base, sel, g, n_live=None):
         sel = jnp.pad(sel, ((0, pad), (0, 0)), constant_values=0x3f)
         g = jnp.pad(g, ((0, pad), (0, 0)))
     anchor, ok, seloff = segment_desc(base, sel, TV, SEG_S)
+    meta = _seg_meta(anchor, ok)
     n_tiles = base.shape[0] // TV
     adapt, gate_in, gate_specs = _gate_args(n_live, n_tiles)
     out = pl.pallas_call(
@@ -560,8 +587,8 @@ def gather_dw_seg(features, base, sel, g, n_live=None):
                                        jnp.float32),
         grid=(n_tiles,),
         in_specs=gate_specs + [
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # anchor (full)
-            pl.BlockSpec(memory_space=pltpu.SMEM),          # ok (full)
+            pl.BlockSpec((8, n_groups), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),          # meta
             pl.BlockSpec((TV, n_groups), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((TV, n_groups), lambda i: (i, 0),
@@ -579,7 +606,7 @@ def gather_dw_seg(features, base, sel, g, n_live=None):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=INTERPRET,
-    )(*gate_in, anchor, ok, base, sel, seloff, g, features)
+    )(*gate_in, meta, base, sel, seloff, g, features)
     return out
 
 

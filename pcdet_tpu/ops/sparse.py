@@ -206,18 +206,15 @@ def _merge_lookup_ext(ids_sorted, query_ids):
 
 
 # Rulebook id-lookup backend: 'sort' = one stable bitonic merge-sort per
-# book (`_merge_lookup_ext`); 'bitmap' = dense-grid presence bitmap +
-# word-popcount prefix ranks (`_bitmap_lookup_ext`) — O(V) build, 4 one-word
-# gathers per query, no O((V+Q) log^2 (V+Q)) sort.  Mutable module global so
-# experiments can time both in one process; flipped by measurement
-# (scripts/exp_bitmap_lookup.py).
+# book (`_merge_lookup_ext`); 'window' = Pallas windowed rank kernel
+# (pallas/window_lookup.py) — per-tile table-range compare-counts instead
+# of sorting all V+Q elements.  Mutable module global so experiments can
+# time both in one process; flipped by measurement
+# (scripts/exp_lookup_backends.py).  A third backend ('bitmap': dense-grid
+# presence bitmap + popcount prefix ranks) was built in round 3 and DELETED
+# in round 5 after losing its chip microbench at every SECOND level
+# (2-2.7x slower than sort — CHIP_QUEUE_LOG bitmap-micro, 2026-08-19).
 LOOKUP_BACKEND = os.environ.get('PCDET_SPARSE_LOOKUP', 'sort')
-# 'auto' threshold: bitmap build cost is O(grid cells / 32) words of
-# popcount+cumsum, so huge grids (the full-resolution input level:
-# 41*1600*1408 = 92M cells) can lose to the O((V+Q) log^2) sort while the
-# strided-down levels win.  Tuned by scripts/exp_bitmap_lookup.py.
-AUTO_BITMAP_MAX_CELLS = int(os.environ.get('PCDET_BITMAP_MAX_CELLS',
-                                           str(16 * 2 ** 20)))
 # Kill switch for the x-window gather kernels (falls back to per-row
 # loads) — lets the unattended chip queue keep producing numbers if the
 # xwin numerics gate ever trips on a new jaxlib.
@@ -226,58 +223,16 @@ XWIN_ENABLED = os.environ.get('PCDET_DISABLE_XWIN', '') != '1'
 TILE_GATE = os.environ.get('PCDET_DISABLE_TILE_GATE', '') != '1'
 
 
-def _bitmap_lookup_ext(ids_sorted, query_ids, grid_n):
-    """Sort-free equivalent of `_merge_lookup_ext` (same packed encoding).
-
-    The table is scattered once into a ceil(grid_n/32)-word presence bitmap
-    (ids are unique, so each bit is set by exactly one `.add`); ranks come
-    from an exclusive cumsum of per-word popcounts; each query then costs
-    four 1-word gathers (its word, the prefix, and the words of q-1/q+1)
-    plus VPU bit math.  Exact packed equality with the merge path holds for
-    EVERY int32 query: in-range queries get true ranks/presence, q<0 gets
-    rank 0, q>=grid_n gets rank=#valid (matching how the merge sorts them
-    before/after every table entry), and the q+-1 presence bits still see
-    the table when q itself sits one step outside it.
-    """
-    n_words = -(-grid_n // 32)
-    valid = (ids_sorted >= 0) & (ids_sorted < grid_n)
-    w_t = jnp.where(valid, ids_sorted >> 5, n_words)
-    bit = jnp.uint32(1) << (ids_sorted & 31).astype(jnp.uint32)
-    bitmap = jnp.zeros(n_words, jnp.uint32).at[w_t].add(
-        jnp.where(valid, bit, jnp.uint32(0)), mode='drop')
-    counts = jax.lax.population_count(bitmap).astype(jnp.int32)
-    csum = jnp.cumsum(counts)
-    total = csum[-1]
-    prefix = jnp.concatenate([jnp.zeros(1, jnp.int32), csum[:-1]])
-
-    def presence(x):
-        ok = (x >= 0) & (x < grid_n)
-        xc = jnp.clip(x, 0, grid_n - 1)
-        word = bitmap[xc >> 5]
-        return (((word >> (xc & 31).astype(jnp.uint32))
-                 & jnp.uint32(1)) > 0) & ok
-
-    q = query_ids
-    qc = jnp.clip(q, 0, grid_n - 1)
-    b = (qc & 31).astype(jnp.uint32)
-    word = bitmap[qc >> 5]
-    below = word & ((jnp.uint32(1) << b) - jnp.uint32(1))
-    rank = prefix[qc >> 5] + jax.lax.population_count(below).astype(jnp.int32)
-    rank = jnp.where(q < 0, 0, jnp.where(q >= grid_n, total, rank))
-    f0 = (((word >> b) & jnp.uint32(1)) > 0) & (q >= 0) & (q < grid_n)
-    fp1 = presence(q + 1)
-    fm1 = presence(q - 1)
-    pos_right = rank + f0.astype(jnp.int32)
-    return (pos_right * 8 + f0.astype(jnp.int32) * 4
-            + fp1.astype(jnp.int32) * 2 + fm1.astype(jnp.int32))
-
-
 def _lookup_ext(ids_sorted, query_ids, grid_shape):
     """Backend dispatch for the packed q-1/q/q+1 rank lookup."""
-    grid_n = int(np.prod(grid_shape))
-    if LOOKUP_BACKEND == 'bitmap' or (LOOKUP_BACKEND == 'auto'
-                                      and grid_n <= AUTO_BITMAP_MAX_CELLS):
-        return _bitmap_lookup_ext(ids_sorted, query_ids, grid_n)
+    del grid_shape
+    if LOOKUP_BACKEND == 'window':
+        from .pallas import gather_gemm, window_lookup
+        # the window kernel is a Pallas TPU kernel; plain-CPU callers
+        # (dryrun, CLIs under PCDET_PLATFORM=cpu) keep the XLA merge path
+        # unless tests force interpret mode
+        if jax.default_backend() != 'cpu' or gather_gemm.INTERPRET:
+            return window_lookup.window_lookup_ext(ids_sorted, query_ids)
     return _merge_lookup_ext(ids_sorted, query_ids)
 
 
@@ -907,40 +862,6 @@ def _strided_out_set(level: SparseLevel, kernel, stride, padding, out_cap):
 
     cand_ids = linearize(cand_coords, out_shape)
     cand_ids = jnp.where(cand_valid, cand_ids, INT_MAX).astype(jnp.int32)
-
-    if LOOKUP_BACKEND == 'bitmap' or (
-            LOOKUP_BACKEND == 'auto'
-            and int(np.prod(out_shape)) <= AUTO_BITMAP_MAX_CELLS):
-        # Sort-free construction: candidates scatter presence into a dense
-        # bool over the (strided-down) out grid — duplicate ids write the
-        # same bit, so dedup is free — and one inclusive cumsum turns every
-        # cell into its dense rank.  Keeps the same semantics as the sort
-        # path: out rows ordered by ascending id, truncation keeps the
-        # out_cap smallest.
-        grid_n = int(np.prod(out_shape))
-        ok = cand_ids < INT_MAX
-        dense = jnp.zeros((grid_n,), bool).at[
-            jnp.where(ok, cand_ids, grid_n)].set(True, mode='drop')
-        csum = jnp.cumsum(dense.astype(jnp.int32))
-        n_active = csum[-1]
-        dropped = jnp.maximum(n_active - out_cap, 0)
-        rank_all = csum[jnp.clip(cand_ids, 0, grid_n - 1)] - 1
-        keep = ok & (rank_all < out_cap)
-        rank = jnp.where(keep, rank_all, out_cap)
-        out_ids = jnp.full((out_cap,), INT_MAX, jnp.int32).at[
-            rank].set(cand_ids, mode='drop')
-        out_mask = out_ids < INT_MAX
-        out_coords = jnp.where(out_mask[:, None],
-                               delinearize(out_ids, out_shape),
-                               -1).astype(jnp.int32)
-        slot = jnp.where(keep, rank * k_total + cand_origin // v,
-                         out_cap * k_total)
-        rows = jnp.zeros(out_cap * k_total, jnp.int32).at[
-            slot].set(cand_origin % v, mode='drop').reshape(out_cap, k_total)
-        found = jnp.zeros(out_cap * k_total, bool).at[
-            slot].set(True, mode='drop').reshape(out_cap, k_total)
-        return (out_ids, out_coords, out_mask, out_shape, dropped, rows,
-                found)
 
     cand_sorted, origin_s = jax.lax.sort((cand_ids, cand_origin), num_keys=1)
     first = jnp.concatenate([

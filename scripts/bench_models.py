@@ -181,15 +181,12 @@ def main():
         if os.environ.get('PCDET_DISABLE_TILE_GATE'):
             r['metric'] += '_nogate'
         tv = os.environ.get('PCDET_GATHER_TV', '')
-        if tv and tv != '64':
+        if tv and tv != '256':     # 256 is the production default (r5)
             r['metric'] += '_tv%s' % tv
         if os.environ.get('PCDET_GATHER_SEG'):
             r['metric'] += '_seg'
         if os.environ.get('PCDET_GATHER_SEG_DW'):
             r['metric'] += '_segdw'
-        dtail = os.environ.get('PCDET_DENSE_TAIL', '')
-        if dtail and dtail != 'off':
-            r['metric'] += '_dtail_%s' % dtail
         if os.environ.get('PCDET_BENCH_TAG'):
             r['metric'] += os.environ['PCDET_BENCH_TAG']
         r['setup_plus_bench_s'] = round(time.perf_counter() - t0, 1)

@@ -1,20 +1,20 @@
-"""Rulebook lookup backends on the chip: merge-sort vs bitmap-rank.
+"""Rulebook lookup backends on the chip: merge-sort vs windowed Pallas rank.
 
 The subm/inverse rulebooks position queries in the sorted id table with ONE
 stable bitonic sort of [table, queries] (`_merge_lookup_ext`) — O((V+Q)
-log^2) element moves.  `_bitmap_lookup_ext` replaces that with a dense-grid
-presence bitmap + word-popcount prefix ranks: O(V) build, 4 one-word
-gathers per query.  Which wins on TPU depends entirely on XLA's batched
-gather throughput — this measures it at the real SECOND eval shapes.
+log^2) element moves; the r5 bitmap-micro step measured that sort at
+21-40 ms/batch PER LEVEL on SECOND B8 (~30-40%% of the whole eval step).
+`window_lookup.window_lookup_ext` replaces it with per-tile windowed
+compare-counts (queries are table_ids + const per tap group, so ranks are
+local).  This measures both at the real SECOND eval shapes.
 
-Timed per backend x level: subm k3 rulebook alone, and the full subm conv
-(rulebook + x-window gather-GEMM).  Methodology as profile_conv2.py: one
-jit, warm, enqueue ITERS, fetch one scalar.
+Timed per backend x level: subm k3 rulebook alone, the full subm conv
+(rulebook + gather-GEMM), and the full strided conv.  Methodology as
+profile_conv2.py: one jit, warm, enqueue ITERS, fetch one scalar.
 """
 import json
 import os
 import sys
-import time
 from pathlib import Path
 
 ROOT = Path(__file__).resolve().parent.parent
@@ -44,7 +44,7 @@ def main():
     for label, v, c, shape in LEVELS:
         lv = make_level(rng, v, c, shape, int(v * 0.77))
         w = jnp.asarray(rng.randn(27, c, c).astype(np.float32) * 0.05)
-        for backend in ('sort', 'bitmap'):
+        for backend in ('sort', 'window'):
             sparse.LOOKUP_BACKEND = backend
 
             # distinct closures per backend: the global is read at trace time
@@ -68,9 +68,14 @@ def main():
             jr = jax.jit(lambda *a, fn=rules_only: jax.vmap(fn)(*a).sum())
             jc = jax.jit(lambda *a, fn=full_conv: jax.vmap(fn)(*a).sum())
             js = jax.jit(lambda *a, fn=strided: jax.vmap(fn)(*a).sum())
-            t_r = timed(jr, lv.features, lv.ids, lv.coords, lv.mask)
-            t_c = timed(jc, lv.features, lv.ids, lv.coords, lv.mask)
-            t_s = timed(js, lv.features, lv.ids, lv.coords, lv.mask)
+            try:
+                t_r = timed(jr, lv.features, lv.ids, lv.coords, lv.mask)
+                t_c = timed(jc, lv.features, lv.ids, lv.coords, lv.mask)
+                t_s = timed(js, lv.features, lv.ids, lv.coords, lv.mask)
+            except Exception as e:
+                print('  %s %s FAILED: %s'
+                      % (label, backend, str(e).splitlines()[0][:160]))
+                continue
             rows.append(('%s %s rulebook' % (label, backend), t_r))
             rows.append(('%s %s full subm conv' % (label, backend), t_c))
             rows.append(('%s %s full strided conv' % (label, backend), t_s))
@@ -81,7 +86,7 @@ def main():
         print('  %-52s %8.2f' % (name, ms))
     p = ROOT / 'PROFILE_EVAL_STAGES.json'
     d = json.loads(p.read_text()) if p.exists() else {}
-    d['bitmap_lookup'] = {n: round(t, 2) for n, t in rows}
+    d['lookup_backends'] = {n: round(t, 2) for n, t in rows}
     p.write_text(json.dumps(d, indent=1))
 
 

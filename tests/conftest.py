@@ -10,6 +10,11 @@ if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
         flags + ' --xla_force_host_platform_device_count=8').strip()
 os.environ.setdefault('JAX_ENABLE_X64', '0')
+# Gather-kernel tile height: production default is 256 (chip-measured, see
+# gather_gemm.TV); interpret-mode kernel cost scales with the static TV
+# unroll, so the suite pins the small tile.  Kernel logic is TV-agnostic —
+# test_tile_gating runs a TV=128 subprocess pass to pin that.
+os.environ.setdefault('PCDET_GATHER_TV', '64')
 
 # persistent compilation cache: XLA CPU compiles are slow on small hosts;
 # cache them across test runs.

@@ -334,43 +334,3 @@ def test_sharded_step_matches_single_device(model_name, bn_groups):
         stats_8, stats_1)
 
 
-def test_sharded_second_train_step_dense_tail(monkeypatch):
-    """SECOND with the dense-tail (ops/dense.py) under the 8-device mesh:
-    the dense conv3d + occupancy scatter/maxpool must shard over the batch
-    axis exactly like the sparse path they replace."""
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-    from tiny_config import tiny_second_cfg
-    from pcdet_tpu.datasets.synthetic import SyntheticDataset
-    from pcdet_tpu.datasets.dataset import collate_batch
-    from pcdet_tpu.models.build import build_network
-    from pcdet_tpu.train.optimization import build_optimizer_and_schedule
-    from pcdet_tpu.train.train_state import create_train_state, make_train_step
-
-    monkeypatch.setenv('PCDET_DENSE_TAIL', 'subm')
-    assert jax.device_count() >= 8, jax.devices()
-    mesh = Mesh(np.asarray(jax.devices()[:8]), ('data',))
-
-    cfg = tiny_second_cfg(num_class=1)
-    cfg.DATA_CONFIG.SYNTHETIC.NUM_SAMPLES = 8
-    ds = SyntheticDataset(cfg, training=True)
-    model = build_network(cfg, ds.grid_size)
-    ds.set_anchor_targets(model.anchor_targets)
-    batch_np = collate_batch([ds[i] for i in range(8)])
-
-    dp = NamedSharding(mesh, P('data'))
-    repl = NamedSharding(mesh, P())
-    batch = {k: jax.device_put(jnp.asarray(v), dp)
-             for k, v in batch_np.items()
-             if isinstance(v, np.ndarray) and k != 'sample_idx'}
-    variables = model.init_variables(jax.random.PRNGKey(0),
-                                     {k: v[:2] for k, v in batch.items()})
-    tx, _ = build_optimizer_and_schedule(cfg.MODEL.TRAIN.OPTIMIZATION, 10, 2)
-    state = jax.device_put(create_train_state(variables, tx), repl)
-
-    step = make_train_step(model, tx, donate=False)
-    new_state, tb = step(state, batch)
-    assert np.isfinite(float(jax.device_get(tb['loss'])))
-    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
-    assert leaf.sharding.is_fully_replicated

@@ -13,12 +13,16 @@ import pytest
 from pcdet_tpu.ops import sparse
 
 
-@pytest.fixture(params=['sort', 'bitmap'])
+@pytest.fixture(params=['sort', 'window'])
 def lookup_backend(request, monkeypatch):
     """Run every geometry under BOTH rulebook lookup backends (they build
     books by entirely different algorithms; parity between them is the
-    default-flip safety net)."""
+    default-flip safety net).  'window' is the Pallas kernel — interpret
+    mode on this CPU suite."""
+    from pcdet_tpu.ops.pallas import gather_gemm
     monkeypatch.setattr(sparse, 'LOOKUP_BACKEND', request.param)
+    if request.param == 'window':
+        monkeypatch.setattr(gather_gemm, 'INTERPRET', True)
     return request.param
 
 SHAPE = (7, 12, 14)

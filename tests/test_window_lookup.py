@@ -1,14 +1,22 @@
-"""Bitmap-rank lookup backend vs the merge-sort backend (bit parity).
+"""Window-rank lookup backend vs the merge-sort backend (bit parity).
 
-`sparse._bitmap_lookup_ext` must produce the EXACT packed encoding of
+`window_lookup.window_lookup_ext` must produce the EXACT packed encoding of
 `sparse._merge_lookup_ext` for every int32 query — in-range, negative,
 past-the-grid, sentinel (INT_MAX-8, INT_MAX//2 + c), and one-outside-with-
 found-neighbour — so the rulebook builders can switch backend freely.
+Kernels run in interpret mode on this CPU suite (the real-TPU lowering is
+pinned by scripts/chip_smoke.py, queue step 0).
 """
 import numpy as np
 import pytest
 
 from tests.test_sparse import _random_level
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    from pcdet_tpu.ops.pallas import gather_gemm
+    monkeypatch.setattr(gather_gemm, 'INTERPRET', True)
 
 
 def _random_table(rng, grid_n, n_active, cap):
@@ -24,6 +32,7 @@ def _random_table(rng, grid_n, n_active, cap):
 def test_packed_equality_fuzz():
     import jax.numpy as jnp
     from pcdet_tpu.ops import sparse
+    from pcdet_tpu.ops.pallas import window_lookup
     rng = np.random.RandomState(0)
     for trial in range(8):
         grid_n = int(rng.randint(50, 5000))
@@ -38,12 +47,29 @@ def test_packed_equality_fuzz():
         ]
         q = jnp.asarray(np.concatenate(qs).astype(np.int32))
         ref = np.asarray(sparse._merge_lookup_ext(table, q))
-        got = np.asarray(sparse._bitmap_lookup_ext(table, q, grid_n))
+        got = np.asarray(window_lookup.window_lookup_ext(table, q))
         np.testing.assert_array_equal(got, ref, err_msg=f'trial {trial}')
 
 
+def test_packed_equality_unsorted_queries():
+    """The inverse-conv coarse queries are NOT sorted — exactness must not
+    depend on query order (only efficiency does)."""
+    import jax.numpy as jnp
+    from pcdet_tpu.ops import sparse
+    from pcdet_tpu.ops.pallas import window_lookup
+    rng = np.random.RandomState(7)
+    table, ids = _random_table(rng, 4000, 250, 288)
+    q = rng.permutation(np.concatenate([
+        rng.randint(-3, 4003, size=600),
+        ids + rng.randint(-1, 2, size=ids.shape)])).astype(np.int32)
+    q = jnp.asarray(q)
+    ref = np.asarray(sparse._merge_lookup_ext(table, q))
+    got = np.asarray(window_lookup.window_lookup_ext(table, q))
+    np.testing.assert_array_equal(got, ref)
+
+
 @pytest.mark.parametrize('builder', ['subm', 'affine', 'inverse'])
-def test_rules_bit_identical_across_backends(builder):
+def test_rules_bit_identical_across_backends(builder, monkeypatch):
     import jax
     from pcdet_tpu.ops import sparse
     rng = np.random.RandomState(1)
@@ -62,20 +88,16 @@ def test_rules_bit_identical_across_backends(builder):
         return sparse._rules_inverse(coarse, fine.coords, fine.mask,
                                      (3, 3, 3), (2, 2, 2), (1, 1, 1))
 
-    prev = sparse.LOOKUP_BACKEND
-    try:
-        sparse.LOOKUP_BACKEND = 'sort'
-        r_ref, f_ref = jax.tree_util.tree_map(np.asarray, build())
-        sparse.LOOKUP_BACKEND = 'bitmap'
-        r_bm, f_bm = jax.tree_util.tree_map(np.asarray, build())
-    finally:
-        sparse.LOOKUP_BACKEND = prev
-    np.testing.assert_array_equal(f_bm, f_ref)
-    np.testing.assert_array_equal(np.where(f_ref, r_bm, 0),
+    monkeypatch.setattr(sparse, 'LOOKUP_BACKEND', 'sort')
+    r_ref, f_ref = jax.tree_util.tree_map(np.asarray, build())
+    monkeypatch.setattr(sparse, 'LOOKUP_BACKEND', 'window')
+    r_w, f_w = jax.tree_util.tree_map(np.asarray, build())
+    np.testing.assert_array_equal(f_w, f_ref)
+    np.testing.assert_array_equal(np.where(f_ref, r_w, 0),
                                   np.where(f_ref, r_ref, 0))
 
 
-def test_conv_outputs_identical_across_backends():
+def test_conv_outputs_identical_across_backends(monkeypatch):
     """End-to-end: subm + strided + inverse convs bit-identical."""
     import jax.numpy as jnp
     from pcdet_tpu.ops import sparse
@@ -93,24 +115,17 @@ def test_conv_outputs_identical_across_backends():
                 np.asarray(z.features), np.asarray(y.ids),
                 np.asarray(y.coords), np.asarray(y.mask))
 
-    prev = sparse.LOOKUP_BACKEND
-    try:
-        sparse.LOOKUP_BACKEND = 'sort'
-        ref = run()
-        sparse.LOOKUP_BACKEND = 'bitmap'
-        got = run()
-        sparse.LOOKUP_BACKEND = 'auto'   # small grids -> bitmap branch
-        got_auto = run()
-    finally:
-        sparse.LOOKUP_BACKEND = prev
-    for a, b, c in zip(ref, got, got_auto):
+    monkeypatch.setattr(sparse, 'LOOKUP_BACKEND', 'sort')
+    ref = run()
+    monkeypatch.setattr(sparse, 'LOOKUP_BACKEND', 'window')
+    got = run()
+    for a, b in zip(ref, got):
         np.testing.assert_array_equal(b, a)
-        np.testing.assert_array_equal(c, a)
 
 
-def test_batched_convs_identical_across_backends():
-    """The chip path always runs under vmap — batched scatter/gather/cumsum
-    must preserve the parity too."""
+def test_batched_convs_identical_across_backends(monkeypatch):
+    """The chip path always runs under vmap — the windowed pallas_call must
+    preserve the parity under batching too."""
     import jax.numpy as jnp
     from pcdet_tpu.ops import sparse
     rng = np.random.RandomState(5)
@@ -127,38 +142,9 @@ def test_batched_convs_identical_across_backends():
         return (np.asarray(x.features), np.asarray(y.features),
                 np.asarray(y.ids), np.asarray(y.mask))
 
-    prev = sparse.LOOKUP_BACKEND
-    try:
-        sparse.LOOKUP_BACKEND = 'sort'
-        ref = run()
-        sparse.LOOKUP_BACKEND = 'bitmap'
-        got = run()
-    finally:
-        sparse.LOOKUP_BACKEND = prev
+    monkeypatch.setattr(sparse, 'LOOKUP_BACKEND', 'sort')
+    ref = run()
+    monkeypatch.setattr(sparse, 'LOOKUP_BACKEND', 'window')
+    got = run()
     for a, b in zip(ref, got):
         np.testing.assert_array_equal(b, a)
-
-
-def test_strided_out_set_truncation_parity():
-    """Over-tight out_cap: both backends keep the same (smallest) ids and
-    report the same dropped count."""
-    import jax.numpy as jnp
-    from pcdet_tpu.ops import sparse
-    rng = np.random.RandomState(3)
-    level, _ = _random_level(rng, shape=(6, 8, 8), n_active=50, cap=64)
-
-    def run():
-        return sparse._strided_out_set(level, (3, 3, 3), (2, 2, 2),
-                                       (1, 1, 1), 20)
-
-    prev = sparse.LOOKUP_BACKEND
-    try:
-        sparse.LOOKUP_BACKEND = 'sort'
-        ref = [np.asarray(x) for x in run() if not isinstance(x, tuple)]
-        sparse.LOOKUP_BACKEND = 'bitmap'
-        got = [np.asarray(x) for x in run() if not isinstance(x, tuple)]
-    finally:
-        sparse.LOOKUP_BACKEND = prev
-    for a, b in zip(ref, got):
-        np.testing.assert_array_equal(b, a)
-    assert ref[3] > 0  # the dropped counter actually tripped
