@@ -114,8 +114,11 @@ def test_second_overfit_reaches_nontrivial_ap(tmp_path):
     result = _overfit_and_eval(cfg, build_network, steps=500, lr=3e-3,
                                tmp_path=tmp_path)
     recall = result['recall/rcnn_0.5'] / max(result['recall/gt'], 1)
-    assert recall > 0.2, result
-    assert result['Car_3d_easy'] > 5.0, result
+    # Bands at ~2/3 of measured (scripts/measure_overfit_bars.py, this exact
+    # fixture, 2026-08-19: Car_3d_easy=18.18, recall=0.250) so a 2x AP loss
+    # FAILS instead of slipping under a token floor (VERDICT r4 #7).
+    assert recall > 0.16, result
+    assert result['Car_3d_easy'] > 12.0, result
 
 
 @pytest.mark.slow
