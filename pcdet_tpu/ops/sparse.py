@@ -205,15 +205,14 @@ def _merge_lookup_ext(ids_sorted, query_ids):
         jnp.where(~is_table, origin_s - v, m)].set(packed, mode='drop')
 
 
-# Rulebook id-lookup backend: 'sort' = one stable bitonic merge-sort per
-# book (`_merge_lookup_ext`); 'window' = Pallas windowed rank kernel
-# (pallas/window_lookup.py) — per-tile table-range compare-counts instead
-# of sorting all V+Q elements.  Mutable module global so experiments can
-# time both in one process; flipped by measurement
-# (scripts/exp_lookup_backends.py).  A third backend ('bitmap': dense-grid
-# presence bitmap + popcount prefix ranks) was built in round 3 and DELETED
-# in round 5 after losing its chip microbench at every SECOND level
-# (2-2.7x slower than sort — CHIP_QUEUE_LOG bitmap-micro, 2026-08-19).
+# Rulebook id-lookup backend: 'sort' — one stable bitonic merge-sort per
+# book (`_merge_lookup_ext`).  Two alternatives were built and DELETED
+# after losing their chip microbenches at every SECOND level
+# (CHIP_QUEUE_LOG 2026-08-19): 'bitmap' (dense-grid presence bitmap +
+# popcount prefix ranks, 2-2.7x slower, round 3) and 'window' (Pallas
+# windowed rank kernel, 3.0-3.2x slower at the rulebook stage AND failed
+# the TV=256 lowering smoke, round 5).  The env var is kept so a future
+# backend can slot in without touching call sites.
 LOOKUP_BACKEND = os.environ.get('PCDET_SPARSE_LOOKUP', 'sort')
 # Kill switch for the x-window gather kernels (falls back to per-row
 # loads) — lets the unattended chip queue keep producing numbers if the
@@ -226,13 +225,6 @@ TILE_GATE = os.environ.get('PCDET_DISABLE_TILE_GATE', '') != '1'
 def _lookup_ext(ids_sorted, query_ids, grid_shape):
     """Backend dispatch for the packed q-1/q/q+1 rank lookup."""
     del grid_shape
-    if LOOKUP_BACKEND == 'window':
-        from .pallas import gather_gemm, window_lookup
-        # the window kernel is a Pallas TPU kernel; plain-CPU callers
-        # (dryrun, CLIs under PCDET_PLATFORM=cpu) keep the XLA merge path
-        # unless tests force interpret mode
-        if jax.default_backend() != 'cpu' or gather_gemm.INTERPRET:
-            return window_lookup.window_lookup_ext(ids_sorted, query_ids)
     return _merge_lookup_ext(ids_sorted, query_ids)
 
 

@@ -93,27 +93,6 @@ def main():
     w_h = np.asarray(w)
     expect = np.einsum('vkc,kcd->vd', fp_h[rules_h], w_h)
 
-    # window-rank lookup backend (round 5): packed bit-parity vs the merge
-    # sort on device, incl. the padding tail and near-miss queries
-    from pcdet_tpu.ops.pallas import window_lookup
-    q_ids = jnp.concatenate([lv.ids, lv.ids + 1, lv.ids - 3])
-    pk_ref = np.asarray(jax.jit(
-        lambda: sparse._merge_lookup_ext(lv.ids, q_ids))())
-    check('window lookup', jax.jit(
-        lambda: window_lookup.window_lookup_ext(lv.ids, q_ids)),
-        pk_ref, 0.0)
-
-    def rules_window():
-        prev = sparse.LOOKUP_BACKEND
-        sparse.LOOKUP_BACKEND = 'window'
-        try:
-            r, f = jax.jit(lambda: sparse._rules_subm(lv, (3, 3, 3)))()
-        finally:
-            sparse.LOOKUP_BACKEND = prev
-        return jnp.where(f, r, V)
-
-    check('rules subm window', rules_window, rules_h, 0.0)
-
     # per-row f32 / packed, gated + ungated
     for gname, g in [('', None), (' gated', nl)]:
         check('rows f32%s' % gname,

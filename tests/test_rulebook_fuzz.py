@@ -13,16 +13,13 @@ import pytest
 from pcdet_tpu.ops import sparse
 
 
-@pytest.fixture(params=['sort', 'window'])
+@pytest.fixture(params=['sort'])
 def lookup_backend(request, monkeypatch):
-    """Run every geometry under BOTH rulebook lookup backends (they build
-    books by entirely different algorithms; parity between them is the
-    default-flip safety net).  'window' is the Pallas kernel — interpret
-    mode on this CPU suite."""
-    from pcdet_tpu.ops.pallas import gather_gemm
+    """Lookup backend under test.  'sort' is the only backend left after
+    the round-5 chip microbenches (bitmap and window both lost and were
+    deleted); the fixture stays parametrized so a future backend slots in
+    as one extra param."""
     monkeypatch.setattr(sparse, 'LOOKUP_BACKEND', request.param)
-    if request.param == 'window':
-        monkeypatch.setattr(gather_gemm, 'INTERPRET', True)
     return request.param
 
 SHAPE = (7, 12, 14)
