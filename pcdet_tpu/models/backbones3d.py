@@ -44,8 +44,10 @@ class SpConvBNReLU(nn.Module):
     indice_key: str = ''
 
     @nn.compact
-    def __call__(self, level, train: bool, target=None):
-        """`level` arrays are batched: features (B, V, C), ids (B, V), ..."""
+    def __call__(self, level, train: bool, target=None, book=None):
+        """`level` arrays are batched: features (B, V, C), ids (B, V), ...
+        `book`: optional precomputed batched rulebook (host-built,
+        ops/host_books.py) for this conv's geometry."""
         k = int(np.prod(self.kernel))
         cin = level.features.shape[-1]
         fan_in = cin * k
@@ -54,13 +56,13 @@ class SpConvBNReLU(nn.Module):
         cd = jnp.bfloat16 if self.compute_dtype == 'bfloat16' else None
         if self.conv_type == 'subm':
             out = sparse.subm_conv3d_batched(level, w, kernel=self.kernel,
-                                             compute_dtype=cd)
+                                             compute_dtype=cd, book=book)
         elif self.conv_type == 'spconv':
             out = sparse.sparse_conv3d_batched(
                 level, w, kernel=self.kernel, stride=self.stride,
                 padding=self.padding,
                 out_cap=self.out_cap or level.features.shape[1],
-                compute_dtype=cd, indice_key=self.indice_key)
+                compute_dtype=cd, indice_key=self.indice_key, book=book)
         elif self.conv_type == 'inverseconv':
             assert target is not None
             out = sparse.inverse_conv3d_batched(
@@ -84,6 +86,14 @@ def _effective_dtype(module, train):
     if train:
         return module.compute_dtype
     return module.compute_dtype_test or module.compute_dtype
+
+
+def _with_subm_book(level, books, key):
+    """Attach a host-built subm rulebook (ops/host_books.py) to a level so
+    the first k3 subm conv on it skips the device-side book build (the
+    cached-subm_rules path — spconv indice-key semantics unchanged)."""
+    b = None if not books else books.get(key)
+    return level if b is None else level._replace(subm_rules=tuple(b))
 
 
 def _resolve_caps(cap, level_caps, level_caps_frac, train, n=4):
@@ -140,41 +150,50 @@ class BackBone8x(nn.Module):
     compute_dtype_test: str = ''     # eval-only override (like level_caps_test)
 
     @nn.compact
-    def __call__(self, level, train: bool):
+    def __call__(self, level, train: bool, books=None):
         """:param level: batched SparseLevel at full resolution;
+        :param books: optional host-built rulebooks (ops/host_books.py,
+            encoder_spec keys) — absent keys fall back to device builds;
         :return: (B, H, W, C*D) dense BEV + encoder levels."""
         from functools import partial
         SpConvBNReLU = partial(globals()['SpConvBNReLU'],
                                compute_dtype=_effective_dtype(self, train))
+        bk = books or {}
         cap = level.features.shape[1]
         absolute = (self.level_caps if train or not self.level_caps_test
                     else self.level_caps_test)
         caps = _resolve_caps(cap, absolute, self.level_caps_frac, train)
+        level = _with_subm_book(level, bk, 'subm1')
         x = SpConvBNReLU(16, name='conv_input')(level, train)
         x1 = SpConvBNReLU(16, name='conv1_0')(x, train)
         x2 = SpConvBNReLU(32, stride=(2, 2, 2), conv_type='spconv',
                           out_cap=caps[0], indice_key='spconv2',
-                          name='conv2_0')(x1, train)
+                          name='conv2_0')(x1, train, book=bk.get('spconv2'))
         overflow = {'conv2': x2.overflow}     # capture before subm _replace
+        x2 = _with_subm_book(x2, bk, 'subm2')
         x2 = SpConvBNReLU(32, name='conv2_1')(x2, train)
         x2 = SpConvBNReLU(32, name='conv2_2')(x2, train)
         x3 = SpConvBNReLU(64, stride=(2, 2, 2), conv_type='spconv',
                           out_cap=caps[1], indice_key='spconv3',
-                          name='conv3_0')(x2, train)
+                          name='conv3_0')(x2, train, book=bk.get('spconv3'))
         overflow['conv3'] = x3.overflow
+        x3 = _with_subm_book(x3, bk, 'subm3')
         x3 = SpConvBNReLU(64, name='conv3_1')(x3, train)
         x3 = SpConvBNReLU(64, name='conv3_2')(x3, train)
 
         x4 = SpConvBNReLU(64, stride=(2, 2, 2), padding=(0, 1, 1),
                           conv_type='spconv', out_cap=caps[2],
-                          indice_key='spconv4', name='conv4_0')(x3, train)
+                          indice_key='spconv4', name='conv4_0')(
+                              x3, train, book=bk.get('spconv4'))
         overflow['conv4'] = x4.overflow
+        x4 = _with_subm_book(x4, bk, 'subm4')
         x4 = SpConvBNReLU(64, name='conv4_1')(x4, train)
         x4 = SpConvBNReLU(64, name='conv4_2')(x4, train)
 
         out = SpConvBNReLU(128, kernel=(3, 1, 1), stride=(2, 1, 1),
                            padding=self.last_pad, conv_type='spconv',
-                           out_cap=caps[3], name='conv_out')(x4, train)
+                           out_cap=caps[3], name='conv_out')(
+                               x4, train, book=bk.get('convout'))
         overflow['conv_out'] = out.overflow
 
         dense = sparse.to_dense_batched(out)            # (B, D, H, W, 128)
@@ -295,41 +314,51 @@ class UNetV2(nn.Module):
         return SpConvBNReLU(out_ch, name=name + '_inv')(fused, train)
 
     @nn.compact
-    def __call__(self, level, train: bool, stop_after: str = ''):
+    def __call__(self, level, train: bool, stop_after: str = '', books=None):
         """`stop_after` (static, profiling only — scripts/
         profile_eval_stages.py): return that mark's features early so
-        per-level prefix timings carve the UNet up.  '' = full forward."""
+        per-level prefix timings carve the UNet up.  '' = full forward.
+        `books`: optional host-built encoder rulebooks (ops/host_books.py)
+        — the decoder needs none (inverse convs transpose the stashed
+        forward books; decoder subm convs reuse the encoder levels' cached
+        books through the laterals)."""
         from functools import partial
         SpConvBNReLU = partial(globals()['SpConvBNReLU'],
                                compute_dtype=_effective_dtype(self, train))
+        bk = books or {}
         cap = level.features.shape[1]
         absolute = (self.level_caps if train or not self.level_caps_test
                     else self.level_caps_test)
         caps = _resolve_caps(cap, absolute, self.level_caps_frac, train)
+        level = _with_subm_book(level, bk, 'subm1')
         x = SpConvBNReLU(16, name='conv_input')(level, train)
         x1 = SpConvBNReLU(16, name='conv1_0')(x, train)
         if stop_after == 'conv1':
             return x1.features
         x2 = SpConvBNReLU(32, stride=(2, 2, 2), conv_type='spconv',
                           out_cap=caps[0], indice_key='spconv2',
-                          name='conv2_0')(x1, train)
+                          name='conv2_0')(x1, train, book=bk.get('spconv2'))
         overflow = {'conv2': x2.overflow}     # capture before subm _replace
+        x2 = _with_subm_book(x2, bk, 'subm2')
         x2 = SpConvBNReLU(32, name='conv2_1')(x2, train)
         x2 = SpConvBNReLU(32, name='conv2_2')(x2, train)
         if stop_after == 'conv2':
             return x2.features
         x3 = SpConvBNReLU(64, stride=(2, 2, 2), conv_type='spconv',
                           out_cap=caps[1], indice_key='spconv3',
-                          name='conv3_0')(x2, train)
+                          name='conv3_0')(x2, train, book=bk.get('spconv3'))
         overflow['conv3'] = x3.overflow
+        x3 = _with_subm_book(x3, bk, 'subm3')
         x3 = SpConvBNReLU(64, name='conv3_1')(x3, train)
         x3 = SpConvBNReLU(64, name='conv3_2')(x3, train)
         if stop_after == 'conv3':
             return x3.features
         x4 = SpConvBNReLU(64, stride=(2, 2, 2), padding=(0, 1, 1),
                           conv_type='spconv', out_cap=caps[2],
-                          indice_key='spconv4', name='conv4_0')(x3, train)
+                          indice_key='spconv4', name='conv4_0')(
+                              x3, train, book=bk.get('spconv4'))
         overflow['conv4'] = x4.overflow
+        x4 = _with_subm_book(x4, bk, 'subm4')
         x4 = SpConvBNReLU(64, name='conv4_1')(x4, train)
         x4 = SpConvBNReLU(64, name='conv4_2')(x4, train)
         if stop_after == 'conv4':
@@ -337,7 +366,8 @@ class UNetV2(nn.Module):
 
         out = SpConvBNReLU(128, kernel=(3, 1, 1), stride=(2, 1, 1),
                            padding=self.last_pad, conv_type='spconv',
-                           out_cap=caps[3], name='conv_out')(x4, train)
+                           out_cap=caps[3], name='conv_out')(
+                               x4, train, book=bk.get('convout'))
         overflow['conv_out'] = out.overflow
         dense = sparse.to_dense_batched(out)
         b, d, h, w, c = dense.shape

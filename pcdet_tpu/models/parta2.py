@@ -16,6 +16,7 @@ from ..ops import sparse
 from ..ops.roiaware_pool import roiaware_pool3d_multi_batched
 from .anchors import AnchorHeadTargets
 from .backbones3d import UNetV0, UNetV2
+from ..ops import host_books
 from .detector3d import merge_overflow_tb, post_process_batch
 from .rpn_head import RPNV2, anchor_head_loss
 from .roi_heads import (FCRCNNModule, SpConvRCNNModule, decode_rcnn_boxes,
@@ -41,7 +42,8 @@ class PartA2Module(nn.Module):
     compute_dtype_test: str = ''
 
     @nn.compact
-    def __call__(self, voxels, num_points, coords, voxel_mask, train: bool):
+    def __call__(self, voxels, num_points, coords, voxel_mask, train: bool,
+                 books=None):
         feats = MeanVFE(name='vfe')(voxels, num_points, coords, voxel_mask,
                                     train)
         level = sparse.from_voxelizer(feats, coords, voxel_mask,
@@ -54,7 +56,7 @@ class PartA2Module(nn.Module):
                                  level_caps_frac=self.level_caps_frac,
                                  compute_dtype=self.compute_dtype,
                                  compute_dtype_test=self.compute_dtype_test,
-                                 name='unet')(level, train)
+                                 name='unet')(level, train, books=books)
         a = self.rpn_args
         ret = RPNV2(
             num_class=self.num_class,
@@ -295,16 +297,31 @@ class PartA2Net:
                         if k not in ('rois', 'roi_raw_scores', 'roi_labels')})
         return ret, new_stats
 
+    def host_book_spec(self, input_cap, train):
+        """Spec for host-built encoder rulebooks (ops/host_books.py) —
+        the UNet encoder shares BackBone8x's geometry, so the same spec
+        applies; the decoder derives its books from the stashed forward
+        books on device (transpose scatters, no sorts)."""
+        from ..ops import host_books as hb
+        from .backbones3d import _resolve_caps
+        m = self.module
+        absolute = (m.level_caps if train or not m.level_caps_test
+                    else m.level_caps_test)
+        caps = _resolve_caps(int(input_cap), absolute, m.level_caps_frac,
+                             train)
+        return hb.encoder_spec(self.sparse_shape, caps, m.last_pad)
+
     def forward(self, variables, batch, train, rng=None):
         if rng is None:
             rng = jax.random.PRNGKey(0)
         stage1_vars = {'params': variables['params']['stage1'],
                        'batch_stats': variables['batch_stats']['stage1']}
+        books = host_books.unpack_books(batch)
         if train:
             ret, updated = self.module.apply(
                 stage1_vars, batch['voxels'], batch['num_points'],
                 batch['coordinates'], batch['voxel_mask'], True,
-                mutable=['batch_stats'])
+                books=books, mutable=['batch_stats'])
             stage1_stats = updated['batch_stats']
             if bool(self.cfg.MODEL.RPN.get('PARAMS_FIXED', False)):
                 # freeze stage-1 (reference PartA2_net.forward_rpn:17
@@ -314,7 +331,8 @@ class PartA2Net:
         else:
             ret = self.module.apply(
                 stage1_vars, batch['voxels'], batch['num_points'],
-                batch['coordinates'], batch['voxel_mask'], False)
+                batch['coordinates'], batch['voxel_mask'], False,
+                books=books)
             stage1_stats = None
 
         rcnn_ret, rcnn_stats = self._stage2(variables, ret, batch, train,

@@ -33,7 +33,8 @@ class SECONDNetModule(nn.Module):
     compute_dtype_test: str = ''
 
     @nn.compact
-    def __call__(self, voxels, num_points, coords, voxel_mask, train: bool):
+    def __call__(self, voxels, num_points, coords, voxel_mask, train: bool,
+                 books=None):
         feats = MeanVFE(name='vfe')(voxels, num_points, coords, voxel_mask,
                                     train)
         level = sparse.from_voxelizer(feats, coords, voxel_mask,
@@ -45,7 +46,7 @@ class SECONDNetModule(nn.Module):
             level_caps_frac=self.level_caps_frac,
             compute_dtype=self.compute_dtype,
             compute_dtype_test=self.compute_dtype_test,
-            name='backbone_3d')(level, train)
+            name='backbone_3d')(level, train, books=books)
         a = self.rpn_args
         ret = RPNV2(
             num_class=self.num_class,
@@ -111,16 +112,30 @@ class SECONDNet:
                                 train=False)
 
     def forward(self, variables, batch, train):
+        from ..ops import host_books
+        books = host_books.unpack_books(batch)
         if train:
             ret, updated = self.module.apply(
                 variables, batch['voxels'], batch['num_points'],
                 batch['coordinates'], batch['voxel_mask'], True,
-                mutable=['batch_stats'])
+                books=books, mutable=['batch_stats'])
             return ret, updated['batch_stats']
         ret = self.module.apply(
             variables, batch['voxels'], batch['num_points'],
-            batch['coordinates'], batch['voxel_mask'], False)
+            batch['coordinates'], batch['voxel_mask'], False, books=books)
         return ret, None
+
+    def host_book_spec(self, input_cap, train):
+        """Spec for host-built encoder rulebooks (ops/host_books.py) at this
+        model's resolved per-level caps."""
+        from ..ops import host_books
+        from .backbones3d import _resolve_caps
+        m = self.module
+        absolute = (m.level_caps if train or not m.level_caps_test
+                    else m.level_caps_test)
+        caps = _resolve_caps(int(input_cap), absolute, m.level_caps_frac,
+                             train)
+        return host_books.encoder_spec(self.sparse_shape, caps, m.last_pad)
 
     def loss(self, ret_dict, batch):
         lw = self.cfg.MODEL.LOSSES.LOSS_WEIGHTS

@@ -769,16 +769,27 @@ def _rules_subm(level: SparseLevel, kernel):
     return rows, found
 
 
-def subm_conv3d(level: SparseLevel, weights, kernel=3, compute_dtype=None):
+def subm_conv3d(level: SparseLevel, weights, kernel=3, compute_dtype=None,
+                book=None):
     """Submanifold conv: output sites == input sites (spconv SubMConv3d).
 
     The k=(3,3,3) rulebook depends only on the level's active set, so it is
     cached on the level (`subm_rules`) and reused by every later k3 subm
-    conv on the same sites — spconv's indice-key reuse."""
+    conv on the same sites — spconv's indice-key reuse.
+
+    `book`: optional precomputed (rows, found) rulebook (host-built by
+    ops/host_books.py from the same sorted coords — bit-identical by
+    tests/test_host_books.py).  Books are pure integer metadata of the
+    active set; building them host-side overlaps with device compute via
+    the loader prefetch, removing the book chain (sorts + lookups, the
+    measured issue-bound ~40% of the SECOND eval step) from the device
+    critical path entirely."""
     kernel = _triple(kernel)
     cacheable = kernel == (3, 3, 3)
     if cacheable and level.subm_rules is not None:
         rows, found = level.subm_rules
+    elif book is not None:
+        rows, found = book
     else:
         rows, found = _rules_subm(level, kernel)
     mirror = all(kk % 2 == 1 for kk in kernel)
@@ -882,7 +893,7 @@ def _strided_out_set(level: SparseLevel, kernel, stride, padding, out_cap):
 
 
 def sparse_conv3d(level: SparseLevel, weights, kernel=3, stride=2, padding=1,
-                  out_cap=None, compute_dtype=None, indice_key=''):
+                  out_cap=None, compute_dtype=None, indice_key='', book=None):
     """Strided sparse conv (spconv SparseConv3d): output active set = every
     output position whose receptive field touches an active input.
 
@@ -891,13 +902,22 @@ def sparse_conv3d(level: SparseLevel, weights, kernel=3, stride=2, padding=1,
     indice-key contract).  With the default '' on both sides, reuse falls back
     to geometry+cap equality — callers whose target level is NOT the producing
     conv's input must pass distinct keys to avoid a silent wrong book.
+
+    `book`: optional precomputed (out_ids, out_coords, out_mask, dropped,
+    rows, found) — the host-built output set + forward rulebook (see
+    subm_conv3d); replaces the candidate sort `_strided_out_set` would run
+    on device.  Inverse-conv reuse via `strided_rules` works unchanged.
     """
     kernel = _triple(kernel)
     stride = _triple(stride)
     padding = _triple(padding)
     out_cap = out_cap or level.coords.shape[0]
-    out_ids, out_coords, out_mask, out_shape, dropped, rows, found = \
-        _strided_out_set(level, kernel, stride, padding, out_cap)
+    if book is not None:
+        out_ids, out_coords, out_mask, dropped, rows, found = book
+        out_shape = conv_out_shape(level.shape, kernel, stride, padding)
+    else:
+        out_ids, out_coords, out_mask, out_shape, dropped, rows, found = \
+            _strided_out_set(level, kernel, stride, padding, out_cap)
     feats = _apply_rules_transpose_bwd(
         level, out_mask, rows, found, weights, compute_dtype,
         kw3=kernel[2] == 3 and XWIN_ENABLED)
@@ -982,25 +1002,28 @@ def sparse_maxpool3d(level: SparseLevel, kernel=3, stride=2, padding=1,
 # ---------------------------------------------------------------------------
 
 def _vmap_level_op(fn, out_shape, level: SparseLevel, *extra_levels,
-                   out_meta=None):
+                   out_meta=None, extra_args=()):
     """vmap a per-sample SparseLevel op over batched SparseLevels.
 
     `out_shape` must be the statically-known output spatial shape;
     `out_meta` the statically-known `strided_meta` of the output level
     (vmap carries the book arrays, statics ride outside).
+    `extra_args`: additional batch-leading pytrees (e.g. a precomputed
+    rulebook) passed to `fn` after the per-sample levels.
     """
     all_levels = [level] + list(extra_levels)
     shapes = [lv.shape for lv in all_levels]
     metas = [lv.strided_meta for lv in all_levels]
+    n_lv = len(all_levels)
 
-    def per_sample(*arrays):
+    def per_sample(extra, *arrays):
         levels = []
         for i, shape in enumerate(shapes):
             f, ids, c, m, sr, strb = arrays[6 * i: 6 * i + 6]
             levels.append(SparseLevel(f, ids, c, m, shape, subm_rules=sr,
                                       strided_rules=strb,
                                       strided_meta=metas[i]))
-        out = fn(*levels)
+        out = fn(*levels, *extra)
         # overflow / subm_rules / strided_rules are None (empty pytree) or
         # arrays -> vmapped
         return ((out.features, out.ids, out.coords, out.mask), out.overflow,
@@ -1010,7 +1033,8 @@ def _vmap_level_op(fn, out_shape, level: SparseLevel, *extra_levels,
     for lv in all_levels:
         flat += [lv.features, lv.ids, lv.coords, lv.mask, lv.subm_rules,
                  lv.strided_rules]
-    (f, ids, c, m), ovf, sr, strb = jax.vmap(per_sample)(*flat)
+    (f, ids, c, m), ovf, sr, strb = jax.vmap(per_sample)(tuple(extra_args),
+                                                         *flat)
     return SparseLevel(f, ids, c, m, out_shape, overflow=ovf, subm_rules=sr,
                        strided_rules=strb, strided_meta=out_meta)
 
@@ -1021,21 +1045,34 @@ def conv_out_shape(in_shape, kernel, stride, padding):
                  for i in range(3))
 
 
-def subm_conv3d_batched(level, weights, kernel=3, compute_dtype=None):
+def subm_conv3d_batched(level, weights, kernel=3, compute_dtype=None,
+                        book=None):
+    if book is None:
+        return _vmap_level_op(
+            lambda lv: subm_conv3d(lv, weights, kernel, compute_dtype),
+            level.shape, level, out_meta=level.strided_meta)
     return _vmap_level_op(
-        lambda lv: subm_conv3d(lv, weights, kernel, compute_dtype),
-        level.shape, level, out_meta=level.strided_meta)
+        lambda lv, b: subm_conv3d(lv, weights, kernel, compute_dtype,
+                                  book=b),
+        level.shape, level, out_meta=level.strided_meta, extra_args=(book,))
 
 
 def sparse_conv3d_batched(level, weights, kernel=3, stride=2, padding=1,
-                          out_cap=None, compute_dtype=None, indice_key=''):
+                          out_cap=None, compute_dtype=None, indice_key='',
+                          book=None):
     out_shape = conv_out_shape(level.shape, kernel, stride, padding)
     out_meta = (_triple(kernel), _triple(stride), _triple(padding),
                 level.ids.shape[-1], indice_key)
+    if book is None:
+        return _vmap_level_op(
+            lambda lv: sparse_conv3d(lv, weights, kernel, stride, padding,
+                                     out_cap, compute_dtype, indice_key),
+            out_shape, level, out_meta=out_meta)
     return _vmap_level_op(
-        lambda lv: sparse_conv3d(lv, weights, kernel, stride, padding,
-                                 out_cap, compute_dtype, indice_key),
-        out_shape, level, out_meta=out_meta)
+        lambda lv, b: sparse_conv3d(lv, weights, kernel, stride, padding,
+                                    out_cap, compute_dtype, indice_key,
+                                    book=b),
+        out_shape, level, out_meta=out_meta, extra_args=(book,))
 
 
 def inverse_conv3d_batched(level, target, weights, kernel=3, stride=2,

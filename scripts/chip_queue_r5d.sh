@@ -56,11 +56,7 @@ step pp-b8 python scripts/bench_models.py --models pointpillar \
     --batch_size 8 --eval_only
 commit_artifacts pointpillar
 
-# 5. train refresh at the new defaults (VERDICT r4 #6) + seg dW A/B
-step train-b8 python scripts/bench_models.py --models second,parta2 \
-    --batch_size 8
-step train-b8-segdw env PCDET_GATHER_SEG_DW=1 \
-    python scripts/bench_models.py --models second --batch_size 8
-commit_artifacts train-refresh
+# 5. train refresh moved to the final queue (r5e): it should run at the
+# settled kernel defaults (seg verdict + host-books A/B) per VERDICT r4 #6.
 
 echo "=== chip queue r5d done $(date)" | tee -a $LOG
