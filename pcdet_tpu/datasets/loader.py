@@ -38,7 +38,7 @@ def _worker_get(index):
 class DataLoader:
     def __init__(self, dataset, batch_size, shuffle=True, num_workers=4,
                  seed=0, host_id=0, num_hosts=1, drop_last=True, prefetch=4,
-                 worker_mode='thread'):
+                 worker_mode='thread', batch_transform=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -50,6 +50,11 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.epoch = 0
+        # post-collate hook run in the producer thread (e.g. host-built
+        # sparse rulebooks, ops/host_books.py) — overlapped with device
+        # compute like the rest of the pipeline; mutable so callers that
+        # build the model after the loader can attach it later
+        self.batch_transform = batch_transform
 
     def set_epoch(self, epoch):
         """DistributedSampler.set_epoch equivalent — reshuffles per epoch."""
@@ -88,7 +93,10 @@ class DataLoader:
         if self.num_workers <= 0:
             def gen():
                 for b in batches:
-                    yield collate_batch([self.dataset[i] for i in b])
+                    batch = collate_batch([self.dataset[i] for i in b])
+                    if self.batch_transform is not None:
+                        batch = self.batch_transform(batch)
+                    yield batch
             return gen()
         return _PrefetchIterator(self, batches)
 
@@ -118,7 +126,10 @@ class _PrefetchIterator:
         try:
             for b in self.batches:
                 examples = list(self.pool.map(self._get, b))
-                self.q.put(collate_batch(examples))
+                batch = collate_batch(examples)
+                if self.loader.batch_transform is not None:
+                    batch = self.loader.batch_transform(batch)
+                self.q.put(batch)
         except Exception as e:  # surface worker errors to the consumer
             self.q.put(e)
         finally:

@@ -15,7 +15,8 @@ import numpy as np
 _THIS_DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_THIS_DIR, 'kitti_eval_native.cpp'),
          os.path.join(_THIS_DIR, 'voxelizer_native.cpp'),
-         os.path.join(_THIS_DIR, 'augmentation_native.cpp')]
+         os.path.join(_THIS_DIR, 'augmentation_native.cpp'),
+         os.path.join(_THIS_DIR, 'host_books_native.cpp')]
 _LIB = None
 _BUILD_FAILED = False
 
@@ -89,6 +90,14 @@ def get_lib():
     lib.points_in_rbboxes_native.argtypes = [
         c_float_p, ctypes.c_long, ctypes.c_long, c_float_p, ctypes.c_long,
         c_uint8_p]
+    c_uint16_p = ctypes.POINTER(ctypes.c_uint16)
+    c_uint32_p = ctypes.POINTER(ctypes.c_uint32)
+    lib.subm_books_batch.argtypes = (
+        [c_int_p, c_int_p] + [ctypes.c_int] * 8
+        + [c_uint16_p, c_uint32_p])
+    lib.strided_books_batch.argtypes = (
+        [c_int_p, c_int_p] + [ctypes.c_int] * 15
+        + [c_int_p, c_int_p, c_int_p, c_int_p, c_uint16_p, c_uint32_p])
     _LIB = lib
     return _LIB
 
@@ -403,3 +412,69 @@ def points_in_rbboxes(points, boxes):
         boxes.ctypes.data_as(f32p), n,
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return mask.astype(bool)
+
+
+def _iptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+
+
+def subm_books_batch(coords, n_valid, grid_shape, kernel):
+    """Native batched subm rulebooks (compact wire format); None if the
+    library is unavailable.
+
+    :param coords: (B, V, 3) int32 ZYX, sorted by linear id, valid prefix
+    :param n_valid: (B,) int32 valid prefix lengths
+    :return: rows (B, V, K) uint16, found (B, V) uint32 tap bitpack
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    coords = np.ascontiguousarray(coords, dtype=np.int32)
+    n_valid = np.ascontiguousarray(n_valid, dtype=np.int32)
+    b, v, _ = coords.shape
+    kd, kh, kw = kernel
+    k = kd * kh * kw
+    assert v < 65536 and k <= 32, (v, k)
+    rows = np.empty((b, v, k), dtype=np.uint16)
+    found = np.empty((b, v), dtype=np.uint32)
+    d, h, w = (int(s) for s in grid_shape)
+    lib.subm_books_batch(
+        _iptr(coords), _iptr(n_valid), b, v, d, h, w, kd, kh, kw,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        found.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return rows, found
+
+
+def strided_books_batch(coords, n_valid, grid_shape, kernel, stride,
+                        padding, out_cap):
+    """Native batched strided-conv output set + forward rulebook (compact
+    wire format); None if the library is unavailable.
+
+    :return: out_ids (B, O) int32 (INT32_MAX pad), out_coords (B, O, 3)
+             int32 (-1 pad), out_n (B,) int32, dropped (B,) int32,
+             rows (B, O, K) uint16, found (B, O) uint32 tap bitpack
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    coords = np.ascontiguousarray(coords, dtype=np.int32)
+    n_valid = np.ascontiguousarray(n_valid, dtype=np.int32)
+    b, v, _ = coords.shape
+    kd, kh, kw = kernel
+    k = kd * kh * kw
+    assert v < 65536 and k <= 32 and out_cap < 65536, (v, k, out_cap)
+    out_ids = np.empty((b, out_cap), dtype=np.int32)
+    out_coords = np.empty((b, out_cap, 3), dtype=np.int32)
+    out_n = np.empty((b,), dtype=np.int32)
+    dropped = np.empty((b,), dtype=np.int32)
+    rows = np.empty((b, out_cap, k), dtype=np.uint16)
+    found = np.empty((b, out_cap), dtype=np.uint32)
+    d, h, w = (int(s) for s in grid_shape)
+    lib.strided_books_batch(
+        _iptr(coords), _iptr(n_valid), b, v, d, h, w, kd, kh, kw,
+        int(stride[0]), int(stride[1]), int(stride[2]),
+        int(padding[0]), int(padding[1]), int(padding[2]), int(out_cap),
+        _iptr(out_ids), _iptr(out_coords), _iptr(out_n), _iptr(dropped),
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        found.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return out_ids, out_coords, out_n, dropped, rows, found

@@ -208,10 +208,55 @@ def build_books_sample(coords: np.ndarray, mask: np.ndarray, sparse_shape,
     return books
 
 
+# ---------------------------------------------------------------------------
+# Compact wire format: rows uint16 (V caps < 65536 by construction), found
+# bit-packed into one uint32 per output row (K <= 32).  ~2.3x smaller than
+# (int32 rows, bool found) on the host->device path; decoded on device with
+# one shift-and-mask (fused into the consumer by XLA).
+# ---------------------------------------------------------------------------
+
+def _pack_found(found: np.ndarray) -> np.ndarray:
+    """(.., K) bool -> (..,) uint32 bitpack, bit t = tap t."""
+    k = found.shape[-1]
+    bits = (found.astype(np.uint32)
+            << np.arange(k, dtype=np.uint32)).sum(axis=-1, dtype=np.uint64)
+    return bits.astype(np.uint32)
+
+
+def _compact(book: tuple) -> tuple:
+    if len(book) == 2:
+        rows, found = book
+        return rows.astype(np.uint16), _pack_found(found)
+    out_ids, out_coords, out_mask, dropped, rows, found = book
+    return (out_ids.astype(np.int32), out_coords.astype(np.int32),
+            np.asarray(out_mask, bool), np.int32(dropped),
+            rows.astype(np.uint16), _pack_found(found))
+
+
+def _decode(book: tuple) -> tuple:
+    """Compact wire book -> (int32 rows, bool found) device form (jnp ops;
+    traces into the consumer jit)."""
+    import jax.numpy as jnp
+
+    def dec(rows, fnd):
+        k = rows.shape[-1]
+        taps = jnp.arange(k, dtype=jnp.uint32)
+        found = (fnd[..., None] >> taps) & jnp.uint32(1) > 0
+        return rows.astype(jnp.int32), found
+
+    if len(book) == 2:
+        return dec(book[0], book[1])
+    out_ids, out_coords, out_mask, dropped, rows, fnd = book
+    rows, found = dec(rows, fnd)
+    return (out_ids, out_coords, out_mask, dropped, rows, found)
+
+
 def pack_books(books: Dict[str, tuple]) -> Dict[str, np.ndarray]:
-    """Flatten one sample's books into collate-friendly 'hb_*' arrays."""
+    """Flatten one sample's books into collate-friendly 'hb_*' arrays
+    (compact wire format)."""
     flat = {}
     for key, book in books.items():
+        book = _compact(book)
         fields = _SUBM_FIELDS if len(book) == 2 else _STRIDED_FIELDS
         for name, arr in zip(fields, book):
             flat['hb_%s_%s' % (key, name)] = np.asarray(arr)
@@ -219,8 +264,8 @@ def pack_books(books: Dict[str, tuple]) -> Dict[str, np.ndarray]:
 
 
 def unpack_books(batch) -> Optional[Dict[str, tuple]]:
-    """Rebuild the nested {key: book} dict from 'hb_*' batch entries
-    (works on numpy or jnp arrays).  None if the batch carries no books."""
+    """Rebuild the nested {key: book} dict from 'hb_*' batch entries and
+    decode the wire format.  None if the batch carries no books."""
     keys = {}
     for k in batch:
         if not k.startswith('hb_'):
@@ -232,14 +277,93 @@ def unpack_books(batch) -> Optional[Dict[str, tuple]]:
     books = {}
     for key, fields in keys.items():
         names = _SUBM_FIELDS if len(fields) == 2 else _STRIDED_FIELDS
-        books[key] = tuple(fields[n] for n in names)
+        books[key] = _decode(tuple(fields[n] for n in names))
     return books
+
+
+def _prefix_valid(mask_b: np.ndarray) -> bool:
+    m = mask_b.astype(bool)
+    return bool(np.all(m[:, :-1] >= m[:, 1:]))
 
 
 def build_books_batch(coords_b: np.ndarray, mask_b: np.ndarray, sparse_shape,
                       spec) -> Dict[str, np.ndarray]:
-    """Per-batch convenience: stack per-sample flat books along axis 0."""
+    """Build all spec books for a batch (compact 'hb_*' arrays).
+
+    Fast path: the native C++/OpenMP builders (host_books_native.cpp,
+    two-pointer merges + one candidate sort — ~100x the numpy oracle).
+    Falls back to the per-sample numpy walk when the library is missing or
+    the masks aren't valid-prefix shaped.
+    """
+    coords_b = np.asarray(coords_b)
+    mask_b = np.asarray(mask_b)
+    if _prefix_valid(mask_b):
+        flat = _build_books_batch_native(coords_b, mask_b, sparse_shape,
+                                         spec)
+        if flat is not None:
+            return flat
     per = [pack_books(build_books_sample(coords_b[i], mask_b[i],
                                          sparse_shape, spec))
            for i in range(coords_b.shape[0])]
     return {k: np.stack([p[k] for p in per]) for k in per[0]}
+
+
+def make_batch_transform(model, training: bool):
+    """Loader `batch_transform` that adds host-built books for `model`.
+
+    Returns None when the model has no sparse encoder (PointPillar) or the
+    user disabled the path (PCDET_HOST_BOOKS=0).  Runs in the loader's
+    producer thread; the native builders release the GIL (ctypes), so the
+    build overlaps the device step like the rest of the host pipeline.
+    """
+    import os
+    if os.environ.get('PCDET_HOST_BOOKS', '1') == '0':
+        return None
+    if not hasattr(model, 'host_book_spec'):
+        return None
+    sparse_shape = model.sparse_shape
+    spec_cache = {}
+
+    def transform(batch):
+        cap = batch['coordinates'].shape[1]
+        if cap not in spec_cache:
+            spec_cache[cap] = model.host_book_spec(cap, training)
+        batch.update(build_books_batch(batch['coordinates'],
+                                       batch['voxel_mask'], sparse_shape,
+                                       spec_cache[cap]))
+        return batch
+
+    return transform
+
+
+def _build_books_batch_native(coords_b, mask_b, sparse_shape, spec):
+    from .. import native
+    if native.get_lib() is None:
+        return None
+    flat = {}
+    shape = tuple(int(s) for s in sparse_shape)
+    cur_coords = coords_b.astype(np.int32)
+    n_valid = mask_b.sum(axis=1).astype(np.int32)
+    for op in spec:
+        if op[0] == 'subm':
+            out = native.subm_books_batch(cur_coords, n_valid, shape,
+                                          (3, 3, 3))
+            flat['hb_%s_rows' % op[1]], flat['hb_%s_fnd' % op[1]] = out
+        else:
+            _, key, kernel, stride, padding, cap = op
+            kernel = _triple(kernel)
+            stride = _triple(stride)
+            padding = _triple(padding)
+            out_ids, out_coords, out_n, dropped, rows, fnd = \
+                native.strided_books_batch(cur_coords, n_valid, shape,
+                                           kernel, stride, padding, int(cap))
+            flat['hb_%s_ids' % key] = out_ids
+            flat['hb_%s_crd' % key] = out_coords
+            flat['hb_%s_msk' % key] = out_ids < INT_MAX
+            flat['hb_%s_drp' % key] = dropped
+            flat['hb_%s_rows' % key] = rows
+            flat['hb_%s_fnd' % key] = fnd
+            cur_coords, n_valid = out_coords, out_n
+            shape = tuple((shape[i] + 2 * padding[i] - kernel[i])
+                          // stride[i] + 1 for i in range(3))
+    return flat

@@ -72,6 +72,42 @@ def test_strided_book_parity(kernel, stride, padding, cap, seed):
     np.testing.assert_array_equal(np.asarray(rows_d)[f], rows_h[f])
 
 
+def test_native_matches_numpy_oracle():
+    """C++ builders (compact wire format) == numpy oracle on a mixed spec,
+    including cap truncation and the (3,1,1) conv_out geometry."""
+    from pcdet_tpu import native
+    if native.get_lib() is None:
+        pytest.skip('no native toolchain')
+    rng = np.random.RandomState(7)
+    B, V, shape = 3, 256, (9, 24, 28)
+    coords = np.zeros((B, V, 3), np.int32)
+    mask = np.zeros((B, V), bool)
+    for b in range(B):
+        n = 150 + 20 * b
+        ids = np.sort(rng.choice(np.prod(shape), n, replace=False))
+        coords[b, :n] = np.stack([ids // (shape[1] * shape[2]),
+                                  (ids // shape[2]) % shape[1],
+                                  ids % shape[2]], axis=-1)
+        mask[b, :n] = True
+    spec = host_books.encoder_spec(shape, [200, 120, 60, 40], (0, 0, 0))
+    flat_native = host_books._build_books_batch_native(coords, mask, shape,
+                                                       spec)
+    assert flat_native is not None
+    per = [host_books.pack_books(host_books.build_books_sample(
+        coords[b], mask[b], shape, spec)) for b in range(B)]
+    flat_np = {k: np.stack([p[k] for p in per]) for k in per[0]}
+    assert set(flat_native) == set(flat_np)
+    for k in sorted(flat_np):
+        a, b = flat_np[k], flat_native[k]
+        if k.endswith('_rows'):
+            K = a.shape[-1]
+            fa = ((flat_np[k[:-5] + '_fnd'][..., None]
+                   >> np.arange(K, dtype=np.uint32)) & 1) > 0
+            np.testing.assert_array_equal(a[fa], b[fa], err_msg=k)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=k)
+
+
 def _second_setup():
     from tiny_config import tiny_second_cfg
     from pcdet_tpu.datasets.synthetic import SyntheticDataset

@@ -82,6 +82,11 @@ def main():
         cfg, args.batch_size, training=False, logger=logger,
         num_workers=args.workers, worker_mode=args.worker_mode)
     model = build_network(cfg, dataset.grid_size)
+    # host-built sparse rulebooks in the loader workers (overlapped with
+    # the device step; PCDET_HOST_BOOKS=0 to disable)
+    from pcdet_tpu.ops import host_books
+    dataloader.batch_transform = host_books.make_batch_transform(
+        model, training=False)
 
     from pcdet_tpu.datasets.dataset import collate_batch
     example = collate_batch([dataset[i % len(dataset)]

@@ -116,6 +116,11 @@ def main():
     model = build_network(cfg, dataset.grid_size)
     if hasattr(model, 'anchor_targets'):
         dataset.set_anchor_targets(model.anchor_targets)
+    # host-built sparse rulebooks in the loader workers (overlapped with
+    # the device step; PCDET_HOST_BOOKS=0 to disable)
+    from pcdet_tpu.ops import host_books
+    train_loader.batch_transform = host_books.make_batch_transform(
+        model, training=True)
 
     # init from one example batch
     from pcdet_tpu.datasets.dataset import collate_batch
