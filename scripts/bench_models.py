@@ -65,8 +65,8 @@ def build(cfg, training, batch_size):
     if training and hasattr(model, 'anchor_targets'):
         ds.set_anchor_targets(model.anchor_targets)
     batch_np = collate_batch([ds[i] for i in range(batch_size)])
-    if os.environ.get('PCDET_HOST_BOOKS') and hasattr(model,
-                                                      'host_book_spec'):
+    if os.environ.get('PCDET_HOST_BOOKS', '') not in ('', '0') \
+            and hasattr(model, 'host_book_spec'):
         # host-built rulebooks: built once per batch on the host (in the
         # real CLI: inside the prefetching loader workers, overlapped with
         # device compute), so they are legitimately outside the device step.
@@ -162,6 +162,9 @@ def main():
     ap.add_argument('--eval_only', action='store_true',
                     help='skip the train rows (A/B passes that only probe '
                          'the eval step save a full train compile each)')
+    ap.add_argument('--train_only', action='store_true',
+                    help='skip the eval rows (A/B passes that only probe '
+                         'the train step, e.g. dW-kernel variants)')
     args = ap.parse_args()
     import jax
     print('backend:', jax.default_backend(), file=sys.stderr)
@@ -181,6 +184,8 @@ def main():
 
     def run(fn, *a, **kw):
         if args.eval_only and fn is bench_train:
+            return
+        if args.train_only and fn is bench_eval:
             return
         if args.batch_size:
             kw['batch_size'] = args.batch_size
@@ -206,7 +211,7 @@ def main():
             r['metric'] += '_seg'
         if os.environ.get('PCDET_GATHER_SEG_DW'):
             r['metric'] += '_segdw'
-        if os.environ.get('PCDET_HOST_BOOKS'):
+        if os.environ.get('PCDET_HOST_BOOKS', '') not in ('', '0'):
             r['metric'] += '_hostbooks'
         if os.environ.get('PCDET_BENCH_TAG'):
             r['metric'] += os.environ['PCDET_BENCH_TAG']
