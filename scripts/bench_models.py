@@ -65,7 +65,11 @@ def build(cfg, training, batch_size):
     if training and hasattr(model, 'anchor_targets'):
         ds.set_anchor_targets(model.anchor_targets)
     batch_np = collate_batch([ds[i] for i in range(batch_size)])
-    if os.environ.get('PCDET_HOST_BOOKS', '') not in ('', '0') \
+    # host books are the production default (the train/test CLIs build them
+    # in the loader; ops/host_books.py gates on PCDET_HOST_BOOKS != '0'),
+    # so the STOCK bench rows measure the same regime; =0 reverts to
+    # on-device book builds and suffixes the metrics _devbooks.
+    if os.environ.get('PCDET_HOST_BOOKS', '1') != '0' \
             and hasattr(model, 'host_book_spec'):
         # host-built rulebooks: built once per batch on the host (in the
         # real CLI: inside the prefetching loader workers, overlapped with
@@ -211,8 +215,8 @@ def main():
             r['metric'] += '_seg'
         if os.environ.get('PCDET_GATHER_SEG_DW'):
             r['metric'] += '_segdw'
-        if os.environ.get('PCDET_HOST_BOOKS', '') not in ('', '0'):
-            r['metric'] += '_hostbooks'
+        if os.environ.get('PCDET_HOST_BOOKS', '1') == '0':
+            r['metric'] += '_devbooks'
         if os.environ.get('PCDET_BENCH_TAG'):
             r['metric'] += os.environ['PCDET_BENCH_TAG']
         r['setup_plus_bench_s'] = round(time.perf_counter() - t0, 1)
