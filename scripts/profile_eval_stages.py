@@ -102,7 +102,11 @@ def profile_second(batch_size):
     rows.append(('VFE + level build', t_vfe))
     lv_arrays = jax.jit(vfe_stage)(batch)   # device-resident stage output
 
-    # stage 2: sparse backbone
+    # stage 2: sparse backbone (host-built books when the batch carries
+    # them — bench_models.build attaches 'hb_*' under the production
+    # PCDET_HOST_BOOKS default, and the stage must measure the same regime
+    # as the full fwd row)
+    from pcdet_tpu.ops import host_books
     bb = BackBone8x(sparse_shape=mod.sparse_shape, last_pad=mod.last_pad,
                     level_caps=mod.level_caps,
                     level_caps_test=mod.level_caps_test,
@@ -112,13 +116,15 @@ def profile_second(batch_size):
     bb_vars = {'params': params['backbone_3d'],
                'batch_stats': stats.get('backbone_3d', {})}
 
-    def backbone_stage(f, ids, c, m):
+    def backbone_stage(f, ids, c, m, batch):
         level = sparse.SparseLevel(f, ids, c, m, mod.sparse_shape)
-        bev, _ = bb.apply(bb_vars, level, False)
+        bev, _ = bb.apply(bb_vars, level, False,
+                          books=host_books.unpack_books(batch))
         return bev
-    t_bb, _ = _time(_scalarize(backbone_stage), *lv_arrays)
+    hb_batch = {k: v for k, v in batch.items() if k.startswith('hb_')}
+    t_bb, _ = _time(_scalarize(backbone_stage), *lv_arrays, hb_batch)
     rows.append(('sparse backbone', t_bb))
-    bev = jax.jit(backbone_stage)(*lv_arrays)
+    bev = jax.jit(backbone_stage)(*lv_arrays, hb_batch)
 
     # stage 3: dense RPN head
     a = mod.rpn_args
