@@ -133,8 +133,18 @@ def main():
         for r in rows:
             print(json.dumps(r))
 
-    with open(ROOT / 'ROOFLINE.json', 'w') as f:
-        json.dump(all_rows, f, indent=1)
+    # merge over prior rows (keyed by model+phase+batch) so a partial
+    # refresh — e.g. the sparse models after a kernel-default change —
+    # keeps the other models' rows
+    path = ROOT / 'ROOFLINE.json'
+    merged = {}
+    if path.exists():
+        merged = {(r['model'], r['phase'], r['batch']): r
+                  for r in json.loads(path.read_text())}
+    merged.update({(r['model'], r['phase'], r['batch']): r
+                   for r in all_rows})
+    with open(path, 'w') as f:
+        json.dump(list(merged.values()), f, indent=1)
 
     print('\n| model | phase | B | step ms | fps/chip | TFLOP/step | '
           'eff TFLOP/s | MFU(f32) | HBM GB/step | HBM util |')
