@@ -335,8 +335,16 @@ XWIN_DW = os.environ.get('PCDET_XWIN_DW', '1') == '1'
 # ---------------------------------------------------------------------------
 
 SEG_S = int(os.environ.get('PCDET_SEG_S', '256'))       # segment rows
+# fwd: seg LOST its e2e A/B (SECOND B8 eval 18.77 vs 21.74 fps stock,
+# r5d chip queue) despite winning the isolated microbench — same
+# pattern as superwindow (the (V+S-1, C) zero-padded table copy per conv
+# + in-graph layout pressure swamp the issue-rate win).  Default stays
+# per-row packed.
 SEG_FWD = os.environ.get('PCDET_GATHER_SEG', '0') == '1'
-SEG_DW = os.environ.get('PCDET_GATHER_SEG_DW', '0') == '1'
+# dW: seg WON e2e (SECOND B8 train 740.3 vs 805.4 ms under host books,
+# r5e chip queue = 10.81 vs 9.93 fps/chip) on top of its -29% microbench
+# (32.99 vs xwin 46.59 ms) -> production default since r5e.
+SEG_DW = os.environ.get('PCDET_GATHER_SEG_DW', '1') == '1'
 _SEG_MISS = 1023                 # 10-bit offset sentinel (selects nothing)
 
 

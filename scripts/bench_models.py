@@ -213,8 +213,8 @@ def main():
             r['metric'] += '_tv%s' % tv
         if os.environ.get('PCDET_GATHER_SEG'):
             r['metric'] += '_seg'
-        if os.environ.get('PCDET_GATHER_SEG_DW'):
-            r['metric'] += '_segdw'
+        if os.environ.get('PCDET_GATHER_SEG_DW', '1') == '0':
+            r['metric'] += '_xwindw'   # seg dW is the default since r5e
         if os.environ.get('PCDET_HOST_BOOKS', '1') == '0':
             r['metric'] += '_devbooks'
         if os.environ.get('PCDET_BENCH_TAG'):
