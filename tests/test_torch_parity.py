@@ -218,3 +218,60 @@ def test_grouped_batchnorm_matches_per_device_torch_bn():
     np.testing.assert_allclose(
         np.asarray(updated['batch_stats']['var']), saved[1].numpy(),
         rtol=1e-5, atol=1e-6)
+
+
+def test_pfn_eval_max_commute_bit_identical():
+    """Eval PFN restructure (max commuted past the monotone BN affine + ReLU,
+    vfe.py PFNLayer): bit-identical to the stock relu(bn(h)).max(points) path,
+    including negative BN scales (which flip the extremum to min_p h)."""
+    import jax
+    import jax.numpy as jnp
+    from pcdet_tpu.models.vfe import PFNLayer
+
+    rng = np.random.RandomState(11)
+    n_vox, n_pts, cin, cout = 24, 8, 10, 16
+    x = rng.randn(2, n_vox, n_pts, cin).astype(np.float32)
+    x[0, :, 5:] = 0.0                                # padded point slots
+    mask = np.ones((2, n_vox), bool)
+    mask[1, 17:] = False
+
+    layer = PFNLayer(cout, use_norm=True, last_layer=True)
+    variables = layer.init(jax.random.PRNGKey(3), jnp.asarray(x),
+                           jnp.asarray(mask), train=True)
+    # non-trivial running stats + NEGATIVE scales on half the channels
+    scale = rng.randn(cout).astype(np.float32)
+    bias = rng.randn(cout).astype(np.float32)
+    bmean = rng.randn(cout).astype(np.float32) * 0.3
+    bvar = (rng.rand(cout).astype(np.float32) + 0.5)
+    params = {'TorchLinear_0': variables['params']['TorchLinear_0'],
+              'TorchBatchNorm_0': {'scale': jnp.asarray(scale),
+                                   'bias': jnp.asarray(bias)}}
+    stats = {'TorchBatchNorm_0': {'mean': jnp.asarray(bmean),
+                                  'var': jnp.asarray(bvar)}}
+    got = layer.apply({'params': params, 'batch_stats': stats},
+                      jnp.asarray(x), jnp.asarray(mask), False)
+
+    # stock composition with the exact same float ops
+    w = np.asarray(params['TorchLinear_0']['kernel'])
+    h = jnp.asarray(x) @ jnp.asarray(w)
+    hn = (h - jnp.asarray(bmean)) * jax.lax.rsqrt(jnp.asarray(bvar) + 1e-3)
+    want = jnp.max(jax.nn.relu(hn * scale + bias), axis=2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pfn_eval_no_norm_commute_bit_identical():
+    import jax
+    import jax.numpy as jnp
+    from pcdet_tpu.models.vfe import PFNLayer
+
+    rng = np.random.RandomState(12)
+    x = rng.randn(1, 16, 6, 9).astype(np.float32)
+    mask = np.ones((1, 16), bool)
+    layer = PFNLayer(8, use_norm=False, last_layer=True)
+    variables = layer.init(jax.random.PRNGKey(5), jnp.asarray(x),
+                           jnp.asarray(mask), train=True)
+    got = layer.apply(variables, jnp.asarray(x), jnp.asarray(mask), False)
+    k = variables['params']['TorchLinear_0']['kernel']
+    b = variables['params']['TorchLinear_0']['bias']
+    want = jnp.max(jax.nn.relu(jnp.asarray(x) @ k + b), axis=2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
